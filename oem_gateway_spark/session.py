@@ -1,0 +1,69 @@
+"""SparkSession factory with defaults chosen for both local testing and
+large-cluster execution.
+
+Scale notes (100 TB design):
+  - AQE on everywhere: runtime shuffle-partition coalescing, skew-join
+    splitting, and dynamic broadcast conversion replace hand-tuned
+    ``spark.sql.shuffle.partitions`` at every scale factor.
+  - ``spark.sql.shuffle.partitions`` is only the *upper bound* pre-AQE; on a
+    real cluster set it ~2-3x total cores (e.g. 8000 for 1000 executors x 4
+    cores) and let AQE coalesce down.  Locally 32 matches local[32].
+  - Arrow enabled so any pandas_udf / mapInPandas path is batch-vectorized.
+  - Session timezone pinned to UTC so timestamp semantics match the DuckDB
+    oracle and are cluster-node independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MB input splits: the parquet-scan parallelism knob at scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Dims up to 64 MB broadcast (region/nation/part/registry tables are tiny;
+    # at 100 TB the fact side never broadcasts, the dim side always should).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no nanos
+    # type — read as long and let the catalog convert to a µs timestamp
+    # (values are exact µs, verified; DuckDB agrees bit-for-bit).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.streaming.schemaInference": "false",
+}
+
+
+def get_spark(
+    app_name: str = "oem-gateway-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    on a cluster, pass None and submit with ``--master``/deploy-mode instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Session-level (re-assert in case an existing session was returned).
+    for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled"):
+        spark.conf.set(k, conf[k])
+    return spark

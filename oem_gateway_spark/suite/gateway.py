@@ -1,0 +1,259 @@
+"""Gateway-parity suite: the reference's frame dataflow (SURVEY §2.1-2.4)
+made oracle-checkable.
+
+Strategy: the driver only registers the ten relational/LLM parquet tables in
+DuckDB, so each query *synthesizes deterministic frame lines from lineitem/
+events columns on the Spark side, runs the real parse/validate/decode chain
+on the text*, while the oracle computes the expected output arithmetically —
+a stronger check than string-roundtripping both sides (the oracle never sees
+our parser).
+
+Frame synthesis is lossless: Spark's double->string cast is shortest
+round-trip repr, so parse(build(x)) == x bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import frames as FR
+from oem_gateway_spark.suite.registry import query
+
+
+def _serial_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> one serial frame per row: 'node qty disc price'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        F.concat_ws(
+            " ",
+            (F.col("l_suppkey") % 32).cast("int").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_discount").cast("string"),
+            F.col("l_extendedprice").cast("string"),
+        ).alias("line"),
+    )
+
+
+@query(
+    "g_parse_serial",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey*10 + l_linenumber AS line_id,
+             CAST(l_suppkey % 32 AS INT) AS node,
+             l_quantity, l_discount, l_extendedprice
+      FROM lineitem
+    )
+    SELECT line_id, node, idx, value FROM (
+      SELECT line_id, node, 0 AS idx, l_quantity AS value FROM base
+      UNION ALL SELECT line_id, node, 1, l_discount FROM base
+      UNION ALL SELECT line_id, node, 2, l_extendedprice FROM base
+    )
+    """,
+)
+def g_parse_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3+P6+explode: serial text frames -> long-format readings.
+
+    Ref: oemgatewaylistener.py :: OemGatewaySerialListener._process_frame
+    (~l.105-115) — tokenize, validate-all-or-drop, node projection.
+    """
+    lines = _serial_lines(spark, sf_dir)
+    parsed = FR.parse_serial_frames(lines)
+    return FR.explode_readings(parsed).select("line_id", "node", "idx", "value")
+
+
+@query(
+    "g_rfm2pi_decode",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey*10 + l_linenumber AS line_id,
+             CAST(l_suppkey % 32 AS INT) AS node,
+             l_partkey % 256            AS b1,
+             l_orderkey % 256           AS b2,
+             (l_partkey*7 + 13) % 256   AS b3,
+             (l_orderkey*31 + l_linenumber) % 256 AS b4
+      FROM lineitem
+    ), dec AS (
+      SELECT line_id, node,
+             b1 + 256*b2 AS r1,
+             b3 + 256*b4 AS r2
+      FROM base
+    )
+    SELECT line_id, node, idx,
+           CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS INT) AS value
+    FROM (
+      SELECT line_id, node, 0 AS idx, r1 AS raw FROM dec
+      UNION ALL SELECT line_id, node, 1, r2 FROM dec
+    )
+    """,
+)
+def g_rfm2pi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: RFM2Pi byte frames -> little-endian signed int16 readings.
+
+    Ref: oemgatewaylistener.py :: OemGatewayRFM2PiListener._process_frame
+    (~l.150-170) — the one nontrivial scalar decode in the reference.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        F.concat_ws(
+            " ",
+            (F.col("l_suppkey") % 32).cast("int").cast("string"),
+            (F.col("l_partkey") % 256).cast("string"),
+            (F.col("l_orderkey") % 256).cast("string"),
+            ((F.col("l_partkey") * 7 + 13) % 256).cast("string"),
+            ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 256).cast("string"),
+        ).alias("line"),
+    )
+    parsed = FR.parse_rfm2pi_frames(lines)
+    return FR.explode_readings(parsed).select("line_id", "node", "idx", "value")
+
+
+@query(
+    "g_reject_stats",
+    oracle="""
+    SELECT reason AS reject_reason, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE
+               WHEN l_linenumber % 7 = 0 THEN 'info_frame'
+               WHEN l_linenumber % 7 = 1 THEN 'non_numeric'
+               WHEN l_linenumber % 7 = 2 THEN 'empty'
+               ELSE 'valid'
+             END AS reason
+      FROM lineitem
+    )
+    GROUP BY reason
+    """,
+)
+def g_reject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3 row-level reject semantics: malformed frames drop whole, with
+    dead-letter reasons (engine upgrade over the reference's silent log-drop).
+
+    Ref: _process_frame ValueError branch — "Misformed RX frame" (~l.112).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    good = F.concat_ws(
+        " ",
+        (F.col("l_suppkey") % 32).cast("int").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_extendedprice").cast("string"),
+    )
+    line = (
+        F.when(ln % 7 == 0, F.concat(F.lit("> node "), good))
+        .when(ln % 7 == 1, F.concat(F.lit("10 8a2 "), F.col("l_quantity").cast("string")))
+        .when(ln % 7 == 2, F.lit("   "))
+        .otherwise(good)
+    )
+    lines = li.select(line.alias("line"))
+    cls = FR.classify_frames(lines)
+    return cls.groupBy("reject_reason").agg(F.count("*").alias("n"))
+
+
+@query(
+    "g_rfm2pi_parity_reject",
+    oracle="""
+    SELECT reason AS reject_reason, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE
+               WHEN l_linenumber % 3 = 0 THEN 'odd_parity'
+               WHEN l_linenumber % 5 = 0 THEN 'byte_range'
+               ELSE 'valid'
+             END AS reason
+      FROM lineitem
+    )
+    GROUP BY reason
+    """,
+)
+def g_rfm2pi_parity_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 parity check + byte-range validation on the RFM2Pi path.
+
+    Ref: OemGatewayRFM2PiListener._process_frame (~l.155) — odd byte count
+    after node id rejects the frame.  (%3 wins over %5 when both divide, so
+    the CASE order matches the classifier's check order: range then parity —
+    15 % 3 = 0 rows are odd_parity on both sides.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    node = (F.col("l_suppkey") % 32).cast("int").cast("string")
+    b1 = (F.col("l_partkey") % 256).cast("string")
+    b2 = (F.col("l_orderkey") % 256).cast("string")
+    line = (
+        F.when(ln % 3 == 0, F.concat_ws(" ", node, b1, b2, F.lit("7")))  # 3 bytes: odd
+        .when(ln % 5 == 0, F.concat_ws(" ", node, b1, F.lit("999")))  # out of range
+        .otherwise(F.concat_ws(" ", node, b1, b2))
+    )
+    lines = li.select(line.alias("line"))
+    cls = FR.classify_rfm2pi_frames(lines)
+    return cls.groupBy("reject_reason").agg(F.count("*").alias("n"))
+
+
+@query(
+    "g_bulk_encode",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id AS node, value,
+             epoch_ms(ts) AS ts_ms,
+             epoch_ms(ts) // 300000 AS batch_id
+      FROM events
+    )
+    SELECT batch_id, event_id, node,
+           ts_ms - max(ts_ms) OVER (PARTITION BY batch_id) AS dt_ms,
+           value
+    FROM t
+    """,
+)
+def g_bulk_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 relative-time bulk encode: rows get a non-positive offset relative
+    to their batch's send time (= batch max timestamp).
+
+    Ref: oemgatewaybuffer.py :: OemGatewayEmoncmsBuffer._send_data
+    (~l.80-95) — emoncms bulk format [[dt,node,v...],...].
+    Integer millisecond arithmetic; window max per batch (no clock skew).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.col("user_id").alias("node"),
+        "value",
+        F.unix_millis("ts").alias("ts_ms"),
+        (F.floor(F.unix_millis("ts") / 300000)).alias("batch_id"),
+    )
+    w = Window.partitionBy("batch_id")
+    return t.select(
+        "batch_id",
+        "event_id",
+        "node",
+        (F.col("ts_ms") - F.max("ts_ms").over(w)).alias("dt_ms"),
+        "value",
+    )
+
+
+@query(
+    "g_fanout_union",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def g_fanout_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 fan-out / implicit UNION ALL of listener streams: two disjoint
+    'listeners' (split by event_id parity) union back losslessly.
+
+    Ref: oemgateway.py :: OemGateway.run (~l.85-100) — every frame from
+    every listener goes to every buffer; the union of listener streams is
+    the engine's single source DataFrame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    listener_a = ev.filter(F.col("event_id") % 2 == 0)
+    listener_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = listener_a.unionByName(listener_b)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
