@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families (BASELINE.json north star), each a DataFrame composition:
+
+  exact        - content-hash groupBy: one shuffle on a 128-bit key.
+  minhash-lsh  - shingle -> MinHash signature -> band buckets -> bucket
+                 join.  Candidate generation is LINEAR (each doc lands in
+                 n_bands buckets); only same-bucket pairs are compared, so
+                 the 100 TB cost is ~(docs x bands) shuffle + small
+                 per-bucket joins instead of an O(n^2) cross join.  Skewed
+                 buckets (boilerplate text) are handled by AQE skew-join
+                 splitting; at extreme skew, cap bucket size before the
+                 self-join (drop degenerate mega-buckets — they are
+                 near-certain duplicates anyway and can be routed whole).
+  simhash      - 16-bit signature; equal-signature buckets give hamming-0
+                 candidates; hamming<=k via banded signature pieces.
+  ngram-jaccard- exact character-shingle jaccard for candidate VERIFICATION
+                 (run after LSH candidate generation, never standalone at
+                 scale).
+
+All hash math is md5-based (functions/hashing.py) so the DuckDB oracle can
+replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.functions import text as T
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint.
+
+    Returns (content_hash, n_copies, canonical_id=min id) for groups with
+    more than one member.  One hash-shuffle; canonical choice deterministic.
+    """
+    return (
+        df.select(
+            F.col(id_col), T.fingerprint(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup_keep_min(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deduplicated survivors: the min-id row per content fingerprint."""
+    hashed = df.withColumn("content_hash", T.fingerprint(F.col(text_col)))
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=["content_hash", id_col], how="left_semi").drop(
+        "content_hash"
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Append mh_0..mh_{n-1} MinHash components (seeds = 0..n-1)."""
+    shingle_arr = H.shingles(H.words(F.col(text_col)), k=shingle_k)
+    out = df.withColumn("_shingles", shingle_arr)
+    for s in range(n_hashes):
+        out = out.withColumn(f"mh_{s}", H.minhash(F.col("_shingles"), s))
+    return out.drop("_shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    min_equal: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding.
+
+    n_bands bands of n_hashes/n_bands rows each; docs sharing any full band
+    become candidates; candidates keep >= min_equal equal MinHash components
+    (estimated jaccard >= min_equal/n_hashes).  Returns
+    (id_a, id_b, n_equal_minhash) with id_a < id_b, distinct.
+    """
+    rows = n_hashes // n_bands
+    sig = minhash_signature(df, text_col, n_hashes).select(
+        F.col(id_col),
+        *[F.col(f"mh_{s}") for s in range(n_hashes)],
+    )
+    bands = None
+    for b in range(n_bands):
+        band_cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        part = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in band_cols]).alias("bucket"),
+            *[F.col(f"mh_{s}") for s in range(n_hashes)],
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select(
+        F.col(id_col).alias("id_a"),
+        "band",
+        "bucket",
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(n_hashes)],
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"),
+        "band",
+        "bucket",
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(n_hashes)],
+    )
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"a_{s}") for s in range(n_hashes)],
+            *[F.col(f"b_{s}") for s in range(n_hashes)],
+        )
+        .distinct()
+    )
+    n_eq: Column = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in range(n_hashes)
+    )
+    return (
+        cand.withColumn("n_equal_minhash", n_eq.cast("int"))
+        .filter(F.col("n_equal_minhash") >= min_equal)
+        .select("id_a", "id_b", "n_equal_minhash")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash16) per document."""
+    return df.select(
+        F.col(id_col), H.simhash16(H.words(F.col(text_col))).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hamming-0 SimHash candidate pairs (equal 16-bit signatures)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))
+    return (
+        a.join(b, on="simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact char-n-gram jaccard for given (id_a, id_b) candidate pairs.
+
+    Verification stage: joins each side to its distinct n-gram set sizes and
+    intersection via explode + join (set ops stay distributed; no arrays
+    cross the driver).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("gid"),
+        F.explode(
+            F.array_distinct(H.char_ngrams(T.normalize_text(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("gid").agg(F.count("*").alias("n_grams"))
+    a_g = grams.select(F.col("gid").alias("id_a"), "gram")
+    b_g = grams.select(F.col("gid").alias("id_b"), F.col("gram").alias("gram"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(a_g, on="id_a")
+        .join(b_g, on=["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("gid").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("gid").alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(inter, on=["id_a", "id_b"], how="left")
+        .join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (BASELINE.json north star):
+
+  brute-force top-k - query set x corpus with the query side BROADCAST,
+      cosine via JVM higher-order functions, window top-k per query.
+      Correctness baseline; cost = |queries| x |corpus| map work, no
+      shuffle of the corpus.  Right answer at 100 TB only for small k and
+      small query batches.
+
+  LSH-bucketed ANN  - random-hyperplane signs partition the corpus into
+      2^n_planes buckets; search compares only same-bucket pairs.  The
+      plane matrix is a deterministic constant (seeded, embedded in both
+      the Spark plan and the DuckDB oracle).  At 100 TB: bucket the corpus
+      ONCE (write bucketed/partitioned parquet keyed by bucket id), then
+      each query probes one bucket (+ optionally neighbors at Hamming
+      distance 1 for recall) — partition pruning turns ANN into a
+      point-lookup-shaped scan.  IVF (k-means cells) drops in the same
+      frame: swap sign-bucket for nearest-centroid id.
+
+Embedding dim is 64 (FIXTURES.md); planes are 8 -> 256 buckets.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oem_gateway_spark.functions import vectors as V
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _plane_values(plane: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim.
+
+    crc32-seeded integers -> uniform floats; pure stdlib so the identical
+    constants are embedded in the Spark literal and the oracle SQL.
+    """
+    vals = []
+    for i in range(dim):
+        h = zlib.crc32(struct.pack(">II", plane, i)) & 0xFFFFFFFF
+        vals.append(round(h / 0xFFFFFFFF * 2 - 1, 9))
+    return vals
+
+
+PLANES: list[list[float]] = [_plane_values(p) for p in range(N_PLANES)]
+
+
+def plane_literal(plane: int) -> Column:
+    return F.array(*[F.lit(v) for v in PLANES[plane]])
+
+
+def plane_sql(plane: int) -> str:
+    return "[" + ", ".join(repr(v) for v in PLANES[plane]) + "]"
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-bit bucket id in [0, 2^N_PLANES) from the plane dot products."""
+    out = F.lit(0)
+    for p in range(N_PLANES):
+        d = V.dot(vec, plane_literal(p))
+        out = out + F.when(d > 0, F.lit(1 << p)).otherwise(0)
+    return out.cast("int")
+
+
+def lsh_bucket_sql(vec_expr: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        d = V.dot_sql_duckdb(vec_expr, plane_sql(p))
+        terms.append(f"CASE WHEN ({d}) > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (self excluded).
+
+    Query side broadcasts (small by contract); corpus never shuffles until
+    the final tiny per-query top-k window.
+    Returns (query_id, neighbor_id, cosine, rank) with deterministic
+    (cosine desc, neighbor_id) ordering.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", V.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: compare only same-LSH-bucket pairs.
+
+    Returns (query_id, neighbor_id, bucket, cosine, rank).  Recall < 1 by
+    design; the scale win is that each query touches |corpus| / 2^planes
+    vectors (and with bucket-partitioned storage, only that partition).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", V.cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -10,3 +10,4 @@ from oem_gateway_spark.suite.registry import REGISTRY, QuerySpec, query  # noqa:
 # Import suite modules for their registration side effects.
 from oem_gateway_spark.suite import gateway  # noqa: F401,E402
 from oem_gateway_spark.suite import relational  # noqa: F401,E402
+from oem_gateway_spark.suite import llm  # noqa: F401,E402

@@ -1,0 +1,445 @@
+"""LLM-data-pipeline suite (M5 / north star): dedup (exact, MinHash-LSH,
+SimHash, n-gram jaccard, embedding near-dup), similarity search (brute
+force + LSH ANN), text analysis, multimodal plumbing.
+
+Oracle strategy: every hash/vector primitive lives in functions/hashing.py,
+functions/vectors.py, operators/similarity.py with a ``*_sql`` DuckDB twin
+generated from the SAME constants — the oracle replays identical md5-based
+math, so results match exactly (no tolerances).
+
+Duplicate corpus: documents has no duplicates by construction, so dedup
+queries run on ``corpus`` = documents UNION a deterministic perturbed copy
+(doc_id+10_000_000): every 3rd doc an exact copy, every 3rd a near-dup
+(suffix appended), every 3rd a half-truncation.  Both engines build the
+corpus from the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.functions import text as T
+from oem_gateway_spark.functions import vectors as V
+from oem_gateway_spark.operators import dedup as D
+from oem_gateway_spark.operators import multimodal as M
+from oem_gateway_spark.operators import similarity as S
+from oem_gateway_spark.suite.registry import query
+
+DOC_OFFSET = 10_000_000
+NEAR_DUP_SUFFIX = " extra near duplicate suffix"
+
+CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DOC_OFFSET} AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1 THEN text || '{NEAR_DUP_SUFFIX}'
+              ELSE substr(text, 1, CAST(floor(length(text) / 2) AS INT)) END AS text
+  FROM documents
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.col("doc_id") % 3
+    perturbed = docs.select(
+        (F.col("doc_id") + DOC_OFFSET).alias("doc_id"),
+        F.when(mod == 0, F.col("text"))
+        .when(mod == 1, F.concat(F.col("text"), F.lit(NEAR_DUP_SUFFIX)))
+        .otherwise(
+            F.expr("substr(text, 1, CAST(floor(length(text) / 2) AS INT))")
+        )
+        .alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
+# -------------------------------------------------------------------- dedup
+
+@query(
+    "d_exact_dedup_groups",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL})
+    SELECT {T.fingerprint_sql('text')} AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM corpus
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def d_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: normalized-content md5, one hash shuffle;
+    canonical = min doc_id (deterministic)."""
+    return D.exact_dedup_groups(_corpus(spark, sf_dir))
+
+
+@query(
+    "d_exact_dedup_survivors",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    hashed AS (SELECT doc_id, text, {T.fingerprint_sql('text')} AS h FROM corpus),
+    keep AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h)
+    SELECT hashed.doc_id, CAST(length(hashed.text) AS INT) AS n_chars
+    FROM hashed JOIN keep USING (h, doc_id)
+    """,
+)
+def d_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set after exact dedup (min-id per content group)."""
+    out = D.exact_dedup_keep_min(_corpus(spark, sf_dir))
+    return out.select("doc_id", F.length("text").cast("int").alias("n_chars"))
+
+
+def _minhash_oracle(n_hashes: int = 8) -> str:
+    w = H.words_sql("text")
+    sh = H.shingles_sql("w", 3)
+    cols = ",\n           ".join(
+        f"{H.minhash_sql('sh', s)} AS mh_{s}" for s in range(n_hashes)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, {w} AS w FROM corpus),
+    sh_t AS (SELECT doc_id, {sh} AS sh FROM toks)
+    SELECT doc_id,
+           {cols}
+    FROM sh_t
+    """
+
+
+@query("d_minhash_signature", oracle=_minhash_oracle())
+def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-derived components over 3-word shingles).
+    Per-row map work: shingling + hashing stays in whole-stage codegen."""
+    corpus = _corpus(spark, sf_dir)
+    return D.minhash_signature(corpus).select(
+        "doc_id", *[f"mh_{s}" for s in range(8)]
+    )
+
+
+def _lsh_pairs_oracle(n_hashes: int = 8, n_bands: int = 4, min_equal: int = 6) -> str:
+    rows = n_hashes // n_bands
+    sig = _minhash_oracle(n_hashes)
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS bucket,"
+            f" {', '.join(f'mh_{s}' for s in range(n_hashes))} FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN a.mh_{s} = b.mh_{s} THEN 1 ELSE 0 END" for s in range(n_hashes)
+    )
+    return f"""
+    WITH sig AS ({sig}),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             {', '.join(f'a.mh_{s}' for s in range(n_hashes))},
+             {', '.join(f'b.mh_{s} AS bmh_{s}' for s in range(n_hashes))}
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT id_a, id_b,
+           CAST({' + '.join(f'CASE WHEN mh_{s} = bmh_{s} THEN 1 ELSE 0 END' for s in range(n_hashes))} AS INT) AS n_equal_minhash
+    FROM cand
+    WHERE {' + '.join(f'CASE WHEN mh_{s} = bmh_{s} THEN 1 ELSE 0 END' for s in range(n_hashes))} >= {min_equal}
+    """
+
+
+@query("d_minhash_lsh_pairs", oracle=_lsh_pairs_oracle())
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join (4 bands x 2 rows)
+    keeps candidate generation linear in docs; pairs keep >= 6/8 equal
+    components (est. jaccard >= 0.75)."""
+    return D.minhash_lsh_pairs(_corpus(spark, sf_dir))
+
+
+@query(
+    "d_simhash",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus)
+    SELECT doc_id, {H.simhash16_sql('w')} AS simhash FROM toks
+    """,
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (bitwise majority of token hashes)."""
+    return D.simhash_signatures(_corpus(spark, sf_dir))
+
+
+@query(
+    "d_simhash_pairs",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus),
+    sig AS (SELECT doc_id, {H.simhash16_sql('w')} AS simhash FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+    FROM sig a JOIN sig b USING (simhash)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-0 SimHash candidates via equal-signature self-join (banded
+    signature pieces extend this to hamming<=k at scale)."""
+    return D.simhash_pairs(_corpus(spark, sf_dir))
+
+
+@query(
+    "d_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    norm AS (SELECT doc_id, {T.normalize_text_sql('text')} AS t FROM corpus),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({H.char_ngrams_sql('t')})) AS gram
+      FROM norm),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM grams GROUP BY doc_id),
+    pairs AS (SELECT doc_id AS id_a, doc_id + {DOC_OFFSET} AS id_b FROM documents),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM pairs p
+      JOIN grams ga ON ga.doc_id = p.id_a
+      JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+      GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           round(coalesce(i.n_inter, 0) /
+                 (sa.n_grams + sb.n_grams - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-trigram jaccard original-vs-perturbed (the verification
+    stage after LSH candidates; distributed set ops via explode+join)."""
+    corpus = _corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + DOC_OFFSET).alias("id_b"),
+    )
+    return D.ngram_jaccard_pairs(pairs, corpus)
+
+
+# ------------------------------------------------------------------- text
+
+@query(
+    "t_text_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {T.word_tokens_sql('text')} AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(w) AS INT) AS n_words,
+           round(list_aggregate(list_transform(w, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / greatest(len(w), 1), 4) AS avg_word_len,
+           round(CAST({T.stopword_hits_sql('w', 'en')} AS DOUBLE)
+                 / greatest(len(w), 1), 6) AS stopword_ratio,
+           CAST({T.bpe_token_count_sql('text')} AS INT) AS bpe_tokens
+    FROM toks
+    """,
+)
+def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats: length, word count, mean word length,
+    stopword ratio, BPE-ish token count — all codegen map work."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.word_tokens(F.col("text"))
+    d = docs.withColumn("w", w)
+    wlen_sum = F.aggregate(
+        F.transform(F.col("w"), lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.size("w").cast("int").alias("n_words"),
+        F.round(wlen_sum / F.greatest(F.size("w"), F.lit(1)), 4).alias("avg_word_len"),
+        F.round(
+            T.stopword_hits(F.col("w"), "en").cast("double")
+            / F.greatest(F.size("w"), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        T.bpe_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "t_langid",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {T.word_tokens_sql('text')} AS w FROM documents)
+    SELECT doc_id, lang AS labeled_lang, {T.langid_sql('w')} AS pred_lang
+    FROM toks
+    """,
+)
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic argmax heuristic;
+    labeled lang carried for accuracy eval downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.word_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.langid(w).alias("pred_lang"),
+    )
+
+
+@query(
+    "t_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint,
+           substr({T.fingerprint_sql('text')}, 1, 4) AS shard_key
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) + 16-bit shard prefix —
+    the partition key for dedup-sharded storage at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+def _cosine_topk_oracle(k: int = 5, stride: int = 100) -> str:
+    cos = V.cosine_sql_duckdb("c.embedding", "q.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {stride} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cos_raw
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@query("s_cosine_topk", oracle=_cosine_topk_oracle())
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query (every 100th vector queries the
+    corpus).  Broadcast queries x corpus: map-only until the tiny top-k
+    window; the exact baseline ANN is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+def _ann_oracle(k: int = 3, stride: int = 100) -> str:
+    bucket = S.lsh_bucket_sql("embedding")
+    cos = V.cosine_sql_duckdb("c.embedding", "q.embedding")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id % {stride} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             {cos} AS cos_raw
+      FROM b c JOIN q USING (bucket)
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@query("s_ann_lsh_topk", oracle=_ann_oracle())
+def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3: 8 random hyperplanes -> 256 sign buckets;
+    only same-bucket pairs compared (the 100 TB partition-pruned path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.lsh_ann_topk(emb, queries, k=3)
+
+
+@query(
+    "s_embedding_neardup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {DOC_OFFSET},
+             list_transform(embedding, x -> x * 2.0e0 :: FLOAT) FROM embeddings),
+    b AS (SELECT vec_id, embedding, {S.lsh_bucket_sql('embedding')} AS bucket FROM corpus)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round({V.cosine_sql_duckdb('a.embedding', 'c.embedding')}, 6) AS cosine
+    FROM b a JOIN b c USING (bucket)
+    WHERE a.vec_id < c.vec_id
+      AND {V.cosine_sql_duckdb('a.embedding', 'c.embedding')} >= 0.9999
+    """,
+)
+def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH bucket join + cosine >= 0.9999.
+    Corpus = embeddings + exactly-colinear copies (x2 scale — scale-
+    invariant cosine must catch all of them; same-bucket by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    copy = emb.select(
+        (F.col("vec_id") + DOC_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copy)
+    b = corpus.select(
+        "vec_id", "embedding", S.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    cos = V.cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(c, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.9999)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+@query(
+    "m_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_bytes,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                i -> ascii(substr(text, i, 1))), 'sum') % 1000003 AS BIGINT) AS byte_sum,
+           CAST(n_chars % 640 AS INT) AS width,
+           CAST((doc_id * 37) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text packed as BINARY media blob +
+    typed metadata struct -> Arrow-batched mapInPandas feature extraction
+    (numpy over raw bytes).  The codec seam is operators/multimodal.py::
+    decode_image (stubbed: no image libs in this container); the oracle
+    checks the byte-exact features (ASCII corpus => length/ascii sums
+    match UTF-8 byte math)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs)
+    return M.extract_features(media)
