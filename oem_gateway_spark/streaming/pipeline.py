@@ -1,0 +1,161 @@
+"""Gateway pipeline assembly: N listeners -> parse chain -> M sinks.
+
+The reference's dataflow (SURVEY §3.2) as Structured Streaming:
+
+  C1 main loop      -> StreamingQueryManager + trigger(processingTime=200ms)
+  R1 fan-out        -> each sink is its own query over the shared source
+                       union (checkpointed independently, like each buffer
+                       kept its own in-memory list)
+  P1-P6 parse chain -> functions/frames.py transforms (codegen, no UDF)
+  P7 timestamping   -> ingest_ts at the source (socket includeTimestamp /
+                       current_timestamp)
+  B1-B6 delivery    -> sinks/emoncms.py foreachBatch with checkpoint-replay
+                       at-least-once
+  dead letter       -> rejected frames (with reasons) to a parquet table
+  C2 hot settings   -> ConfigWatcher + restart_from_config (offsets resume
+                       from checkpoints, so restart == the reference's
+                       hot-apply)
+
+Scale: one query per sink keeps failure domains independent (a slow sink
+never backpressures another — the reference shared one thread for all).
+The parse chain is stateless map work; only windowed/stateful downstream
+ops (streaming/state.py) keep state, bounded by watermarks.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from oem_gateway_spark.config import GatewayConfig
+from oem_gateway_spark.functions import frames as FR
+from oem_gateway_spark.sinks.emoncms import EmoncmsSink, dead_letter_writer
+from oem_gateway_spark.sources.frames_source import (
+    file_frame_stream,
+    socket_frame_stream,
+)
+
+
+class GatewayPipeline:
+    """Builds and runs the listener->buffer dataflow for a GatewayConfig."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: GatewayConfig,
+        checkpoint_root: str,
+        poster: Callable[[str], str] | None = None,
+        rfm2pi: bool = False,
+    ):
+        self.spark = spark
+        self.config = config
+        self.checkpoint_root = checkpoint_root
+        self.poster = poster
+        self.rfm2pi = rfm2pi
+        self.queries: list[StreamingQuery] = []
+        self.sinks: dict[str, EmoncmsSink] = {}
+
+    # ---------------------------------------------------------------- build
+
+    def source_stream(self) -> DataFrame:
+        """Union of all configured listeners (R1's implicit UNION ALL)."""
+        streams: list[DataFrame] = []
+        for lc in self.config.listeners.values():
+            if lc.type == "socket":
+                s = socket_frame_stream(self.spark, lc.host, lc.port)
+            elif lc.type in ("file", "serial_frames"):
+                s = file_frame_stream(self.spark, lc.path)
+            else:
+                raise ValueError(f"unknown listener type {lc.type!r}")
+            streams.append(s.selectExpr("line", "ingest_ts"))
+        if not streams:
+            raise ValueError("no listeners configured")
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s)
+        return out
+
+    def parsed(self, source: DataFrame) -> DataFrame:
+        parse = FR.parse_rfm2pi_frames if self.rfm2pi else FR.parse_serial_frames
+        return parse(source)
+
+    def rejected(self, source: DataFrame) -> DataFrame:
+        return FR.dead_letter(source, rfm2pi=self.rfm2pi)
+
+    # ------------------------------------------------------------------ run
+
+    def start(self, trigger_available_now: bool = False) -> list[StreamingQuery]:
+        source = self.source_stream()
+        parsed = self.parsed(source)
+        rejects = self.rejected(source)
+
+        def trig(writer):
+            if trigger_available_now:
+                return writer.trigger(availableNow=True)
+            return writer.trigger(processingTime=f"{self.config.trigger_ms} milliseconds")
+
+        for bc in self.config.buffers.values():
+            sink = EmoncmsSink(
+                domain=bc.domain,
+                path=bc.path,
+                apikey=bc.apikey,
+                protocol=bc.protocol,
+                active=bc.active,
+                poster=self.poster,
+            )
+            self.sinks[bc.name] = sink
+            q = trig(
+                parsed.writeStream.foreachBatch(sink.process_batch)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(self.checkpoint_root, f"sink-{bc.name}"),
+                )
+                .queryName(f"gateway-sink-{bc.name}")
+            ).start()
+            self.queries.append(q)
+
+        dlq = trig(
+            rejects.writeStream.foreachBatch(
+                dead_letter_writer(os.path.join(self.checkpoint_root, "dead-letter"))
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoint_root, "sink-dead-letter"),
+            )
+            .queryName("gateway-dead-letter")
+        ).start()
+        self.queries.append(dlq)
+        return self.queries
+
+    def await_all(self, timeout_s: float | None = None) -> None:
+        for q in self.queries:
+            q.awaitTermination(timeout_s)
+
+    def stop(self) -> None:
+        """C5 graceful shutdown: stop every query (offsets checkpointed)."""
+        for q in self.queries:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        self.queries.clear()
+
+
+def restart_from_config(
+    pipeline: GatewayPipeline | None,
+    spark: SparkSession,
+    new_config: GatewayConfig,
+    checkpoint_root: str,
+    **kwargs,
+) -> GatewayPipeline:
+    """C2 hot-apply: stop the old pipeline, start one with the new config.
+    Checkpointed offsets make this equivalent to the reference's in-place
+    reconfiguration (no rows lost, no rows reread)."""
+    if pipeline is not None:
+        pipeline.stop()
+    fresh = GatewayPipeline(spark, new_config, checkpoint_root, **kwargs)
+    fresh.start()
+    return fresh

@@ -1,0 +1,208 @@
+"""Streaming suite (M4): event-time windows with SQL oracles, plus
+genuinely-streaming executions (Structured Streaming with availableNow)
+whose results are checked against the SAME batch oracles — the unified
+batch/streaming dialect made testable.
+
+The batch/stream pairs work because Structured Streaming's model is the
+unbounded-table semantics of the same query (PAPERS.md, SIGMOD 2018): a
+finite replay with availableNow must produce exactly the batch answer.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.streaming import state as ST
+from oem_gateway_spark.suite.registry import query
+
+_SEQ = itertools.count()
+
+TUMBLING_ORACLE = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+"""
+
+SESSION_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source wants a DIRECTORY; testdata ships single
+    parquet files.  Build (once) a scratch dir symlinking the events file."""
+    safe = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join("/root/repo/.scratch", f"stream-events-{safe}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (schema from the batch reader;
+    nanos column normalized exactly like the catalog does)."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(_stream_dir(sf_dir))
+    from pyspark.sql.types import LongType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the materialized table."""
+    name = f"stream_result_{os.getpid()}_{next(_SEQ)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+# ------------------------------------------------- batch-mode window family
+
+@query("w_tumbling", oracle=TUMBLING_ORACLE)
+def w_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type — batch execution of the
+    streaming operator (same plan shape: window() is epoch-aligned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+@query(
+    "w_sliding",
+    oracle="""
+    SELECT to_timestamp((epoch_ms(ts) // 1800000 - k) * 1800) AS win_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def w_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows: every event lands in exactly 2 windows
+    (Expand); oracle enumerates both window starts arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+@query("w_session", oracle=SESSION_ORACLE)
+def w_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30-min gap) in batch mode; oracle = gaps-and-islands
+    with end = last event + gap (Spark's session-end convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------- genuinely streaming executions
+
+@query("stream_tumbling", oracle=TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run (file source -> watermark -> tumbling
+    agg -> memory sink, availableNow): must equal the batch oracle."""
+    stream = _events_stream(spark, sf_dir)
+    result = ST.tumbling_counts(stream)
+    return _run_to_table(result, mode="complete")
+
+
+@query("stream_session", oracle=SESSION_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows (merging session state) — equals the
+    gaps-and-islands oracle after the bounded replay."""
+    stream = _events_stream(spark, sf_dir)
+    result = ST.session_counts(stream)
+    return _run_to_table(result, mode="complete")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dropDuplicatesWithinWatermark: the input stream is
+    UNION ALL of the source with itself (every event arrives twice);
+    exactly-once survivors must equal the plain table."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = ST.dedup_within_watermark(doubled, keys=["event_id"], watermark="1 hour")
+    out = deduped.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return _run_to_table(out, mode="append")
+
+
+@query("stream_stream_join", oracle=None)  # interval-join row set depends on
+# watermark progress at replay end; recorded rows-only, asserted in pytest.
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: purchases joined to the same
+    user's clicks within the following hour, both sides watermarked."""
+    p = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    left = p.select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    right = c.select(F.col("user_id").alias("r_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    lw = left.withWatermark("p_ts", "2 hours")
+    rw = right.withWatermark("c_ts", "2 hours")
+    joined = lw.join(
+        rw,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "purchase_id", "click_id")
+    return _run_to_table(joined, mode="append")
