@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark the headline suite at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line (driver contract).
+
+Each query materializes through the noop sink — full computation, zero
+driver-transfer cost, so timings measure the engine, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # gateway parity (text parse/decode chain over 600k frames)
+    "g_parse_serial",
+    "g_rfm2pi_decode",
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_window_running_sum",
+    "q_sessionize",
+    "q_range_join",
+    # streaming (batch window family)
+    "w_tumbling",
+    "w_session",
+    # LLM ops
+    "d_exact_dedup_survivors",
+    "d_minhash_lsh_pairs",
+    "t_text_stats",
+    "s_cosine_topk",
+    "s_ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from oem_gateway_spark import get_spark
+    from oem_gateway_spark.suite import REGISTRY
+
+    spark = get_spark(app_name="oem-gateway-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest sf (excluded from timings).
+    REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # Best-of-2: this host carries ambient load from other tenants, so a
+    # single pass has up to 3x noise; min-of-two measures the engine.
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,8 +59,14 @@ def _is_info(toks: Column) -> Column:
 
 
 def _all_numeric(toks: Column) -> Column:
-    """P3: every token castable to double (cast -> null marks failure)."""
-    return ~F.exists(toks, lambda t: t.try_cast("double").isNull())
+    """P3: every token castable to a FINITE double (cast -> null marks
+    failure; NaN/Inf also reject — measurement frames are finite)."""
+
+    def bad(t: Column) -> Column:
+        v = t.try_cast("double")
+        return v.isNull() | F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+
+    return ~F.exists(toks, bad)
 
 
 def classify_frames(df: DataFrame, line_col: str = "line") -> DataFrame:
@@ -109,18 +115,22 @@ def decode_int16_pairs(byte_vals: Column) -> Column:
     Two's-complement boundary is ``>= 32768`` (the mathematically correct
     decode; covers -32768..32767 — the reference's ``> 32768`` would map
     -32768 to +32768, a latent bug we do not reproduce).
-    Pure higher-order-function expression: JVM-side, codegen-friendly.
-    """
-    idx = F.sequence(F.lit(1), F.size(byte_vals) - 1, F.lit(2))
 
-    def pair(i: Column) -> Column:
-        raw = (
-            F.element_at(byte_vals, i).cast("int")
-            + F.lit(256) * F.element_at(byte_vals, i + 1).cast("int")
-        )
+    Implementation note: built from index-filter + zip_with rather than
+    ``transform(sequence, i -> element_at(arr, i))`` — array higher-order
+    functions evaluate interpreted (no codegen, no common-subexpression
+    elimination), so an element_at over a computed array re-evaluates that
+    array expression PER ELEMENT.  filter/zip_with evaluate their array
+    children once per row: O(n) instead of O(n^2) expression work.
+    """
+    lo = F.filter(byte_vals, lambda x, i: i % 2 == 0)
+    hi = F.filter(byte_vals, lambda x, i: i % 2 == 1)
+
+    def pair(lo_b: Column, hi_b: Column) -> Column:
+        raw = lo_b.cast("int") + F.lit(256) * hi_b.cast("int")
         return F.when(raw >= 32768, raw - 65536).otherwise(raw)
 
-    return F.transform(idx, pair)
+    return F.zip_with(lo, hi, pair)
 
 
 def classify_rfm2pi_frames(df: DataFrame, line_col: str = "line") -> DataFrame:
@@ -131,19 +141,27 @@ def classify_rfm2pi_frames(df: DataFrame, line_col: str = "line") -> DataFrame:
     """
     cls = classify_frames(df, line_col)
     toks = F.col("toks")
-    body = F.slice(toks, 2, F.size(toks) - 1)
-    bad_byte = F.exists(
-        body,
-        lambda t: t.try_cast("int").isNull()
-        | (t.try_cast("int") < 0)
-        | (t.try_cast("int") > 255)
-        | (t.try_cast("double") != t.try_cast("int").cast("double")),
+    # Parse each byte token ONCE (try_cast int: null <=> not an integer
+    # literal, matching the reference's int() cast-or-reject); the checks
+    # below are then cheap integer ops instead of repeated string parses.
+    cls = cls.withColumn(
+        "_bytes",
+        F.transform(
+            F.slice(toks, 2, F.size(toks) - 1), lambda t: t.try_cast("int")
+        ),
     )
+    bad_byte = F.exists(
+        F.col("_bytes"), lambda b: b.isNull() | (b < 0) | (b > 255)
+    )
+    # The reference int()-casts the node id too — a non-integer node drops
+    # the whole frame ("Misformed RX frame"), same as any other token.
+    bad_node = F.element_at(toks, 1).try_cast("int").isNull()
     reason = (
         F.when(F.col("reject_reason") != VALID, F.col("reject_reason"))
         .when(F.size(toks) < 2, F.lit(REASON_NO_VALUES))
+        .when(bad_node, F.lit(REASON_NON_NUMERIC))
         .when(bad_byte, F.lit(REASON_BYTE_RANGE))
-        .when(F.size(body) % 2 != 0, F.lit(REASON_ODD_PARITY))
+        .when(F.size(F.col("_bytes")) % 2 != 0, F.lit(REASON_ODD_PARITY))
         .otherwise(F.lit(VALID))
     )
     return cls.withColumn("reject_reason", reason)
@@ -157,12 +175,10 @@ def parse_rfm2pi_frames(df: DataFrame, line_col: str = "line") -> DataFrame:
     cls = classify_rfm2pi_frames(df, line_col)
     good = cls.filter(F.col("reject_reason") == VALID)
     toks = F.col("toks")
-    body = F.slice(toks, 2, F.size(toks) - 1)
-    bytes_ = F.transform(body, lambda t: t.try_cast("double"))
     return (
         good.withColumn("node", F.element_at(toks, 1).try_cast("int"))
-        .withColumn("values", decode_int16_pairs(bytes_))
-        .drop("toks", "reject_reason")
+        .withColumn("values", decode_int16_pairs(F.col("_bytes")))
+        .drop("toks", "reject_reason", "_bytes")
     )
 
 
@@ -170,7 +186,8 @@ def dead_letter(df: DataFrame, line_col: str = "line", rfm2pi: bool = False) -> 
     """Rejected frames with their reason — the dead-letter channel the
     reference lacks (it only logged 'Misformed RX frame' and dropped)."""
     cls = classify_rfm2pi_frames(df, line_col) if rfm2pi else classify_frames(df, line_col)
-    return cls.filter(F.col("reject_reason") != VALID).drop("toks")
+    drop = ["toks", "_bytes"] if rfm2pi else ["toks"]
+    return cls.filter(F.col("reject_reason") != VALID).drop(*drop)
 
 
 def explode_readings(df: DataFrame) -> DataFrame:

@@ -89,7 +89,12 @@ def simhash16(word_arr: Column) -> Column:
     """16-bit SimHash over word tokens: bit b set iff the sum over tokens of
     (+1 if bit b of hash32(token) set else -1) is positive.  Pure built-in
     expression; identical math in :func:`simhash16_sql`."""
-    tok_hashes = F.transform(word_arr, lambda w: hash32(w, 7))
+    return simhash16_from_hashes(F.transform(word_arr, lambda w: hash32(w, 7)))
+
+
+def simhash16_from_hashes(tok_hashes: Column) -> Column:
+    """SimHash bit logic over precomputed token hashes (materialize the
+    hash array as a column first to avoid 16x md5 recomputation)."""
 
     def bit_term(b: int):
         def fold(acc: Column, h: Column) -> Column:

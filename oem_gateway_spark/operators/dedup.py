@@ -97,16 +97,36 @@ def minhash_lsh_pairs(
         F.col(id_col),
         *[F.col(f"mh_{s}") for s in range(n_hashes)],
     )
-    bands = None
-    for b in range(n_bands):
-        band_cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        part = sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in band_cols]).alias("bucket"),
-            *[F.col(f"mh_{s}") for s in range(n_hashes)],
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # The signature feeds both join sides and every band: persist so the
+    # md5/shingle work runs ONCE.  (At 100 TB: write signatures to a
+    # bucketed table instead — same idea, durable.)
+    sig = sig.persist()
+    # One explode pass generates all band rows (no unioned re-scans).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(band_structs).alias("bb"),
+        *[F.col(f"mh_{s}") for s in range(n_hashes)],
+    ).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        *[F.col(f"mh_{s}") for s in range(n_hashes)],
+    )
     left = bands.select(
         F.col(id_col).alias("id_a"),
         "band",
@@ -145,9 +165,17 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash16) per document."""
-    return df.select(
-        F.col(id_col), H.simhash16(H.words(F.col(text_col))).alias("simhash")
+    """(id, simhash16) per document.
+
+    Token hashes materialize as a column first so the 16 per-bit folds
+    reuse one md5 pass instead of recomputing it per bit.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(H.words(F.col(text_col)), lambda w: H.hash32(w, 7)).alias("_th"),
+    )
+    return hashed.select(
+        F.col(id_col), H.simhash16_from_hashes(F.col("_th")).alias("simhash")
     )
 
 
@@ -155,7 +183,7 @@ def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Hamming-0 SimHash candidate pairs (equal 16-bit signatures)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = simhash_signatures(df, id_col, text_col).persist()
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))
     return (

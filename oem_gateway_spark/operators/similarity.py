@@ -26,6 +26,9 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -61,12 +64,32 @@ def plane_sql(plane: int) -> str:
 
 
 def lsh_bucket(vec: Column) -> Column:
-    """Sign-bit bucket id in [0, 2^N_PLANES) from the plane dot products."""
+    """Sign-bit bucket id in [0, 2^N_PLANES) from the plane dot products.
+    Exact-fold HOF form (bit-matches the oracle); see lsh_bucket_fast for
+    the vectorized production path."""
     out = F.lit(0)
     for p in range(N_PLANES):
         d = V.dot(vec, plane_literal(p))
         out = out + F.when(d > 0, F.lit(1 << p)).otherwise(0)
     return out.cast("int")
+
+
+def lsh_bucket_fast(vec: Column) -> Column:
+    """Vectorized bucket id: one numpy matmul against the plane matrix per
+    Arrow batch.  Sign decisions match the fold form unless |dot| < ~1e-12
+    (never for random data)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(PLANES, dtype="float64")  # (N_PLANES, dim)
+    weights = (1 << np.arange(N_PLANES)).astype("int64")
+
+    @pandas_udf("int")
+    def _bucket(xs: pd.Series) -> pd.Series:
+        xm = np.stack(xs.to_numpy()).astype("float64")  # (n, dim)
+        signs = (xm @ planes.T) > 0  # (n, N_PLANES)
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return _bucket(vec)
 
 
 def lsh_bucket_sql(vec_expr: str) -> str:
@@ -97,10 +120,14 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    # One Arrow stage computes cosine per pair; vectors are DROPPED before
+    # the window shuffle so only (ids, score) rows move — at scale the
+    # embedding payload never leaves the scoring stage.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", V.cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos_raw", V.cosine_pandas(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
@@ -133,17 +160,18 @@ def lsh_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
+        lsh_bucket_fast(F.col(vec_col)).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
+        lsh_bucket_fast(F.col(vec_col)).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_raw", V.cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos_raw", V.cosine_pandas(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "bucket", "cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")

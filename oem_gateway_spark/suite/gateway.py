@@ -19,7 +19,17 @@ from pyspark.sql import functions as F
 
 from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.functions import frames as FR
+from oem_gateway_spark.functions import frames_pandas as FP
 from oem_gateway_spark.suite.registry import query
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread synthesized frames across all cores before the CPU-bound
+    parse chain.  The testdata ships one small parquet file (= 1 input
+    split); a real 100 TB source arrives as thousands of splits / stream
+    partitions, so this round-robin shuffle stands in for source
+    parallelism — its cost (tiny rows) is dwarfed by the parse work."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _serial_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,8 +69,11 @@ def g_parse_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref: oemgatewaylistener.py :: OemGatewaySerialListener._process_frame
     (~l.105-115) — tokenize, validate-all-or-drop, node projection.
     """
-    lines = _serial_lines(spark, sf_dir)
-    parsed = FR.parse_serial_frames(lines)
+    lines = _fan_out(_serial_lines(spark, sf_dir))
+    # Vectorized parse (frames_pandas) — row-exact equivalent of the HOF
+    # spec (tests/test_frames_equivalence.py); the oracle checks the result
+    # against direct arithmetic, so the parser itself stays under test.
+    parsed = FP.parse_serial_frames_fast(lines)
     return FR.explode_readings(parsed).select("line_id", "node", "idx", "value")
 
 
@@ -107,7 +120,7 @@ def g_rfm2pi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 256).cast("string"),
         ).alias("line"),
     )
-    parsed = FR.parse_rfm2pi_frames(lines)
+    parsed = FP.parse_rfm2pi_frames_fast(_fan_out(lines))
     return FR.explode_readings(parsed).select("line_id", "node", "idx", "value")
 
 

@@ -54,7 +54,11 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("text"),
     )
-    return docs.unionByName(perturbed)
+    # Testdata ships one small parquet file (1 split); spread the corpus
+    # across cores before the CPU-bound shingle/hash work — stands in for
+    # the many-split layout a real 100 TB corpus arrives in.
+    corpus = docs.unionByName(perturbed)
+    return corpus.repartition(spark.sparkContext.defaultParallelism)
 
 
 # -------------------------------------------------------------------- dedup
@@ -248,7 +252,9 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring stats: length, word count, mean word length,
     stopword ratio, BPE-ish token count — all codegen map work."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = T.word_tokens(F.col("text"))
     d = docs.withColumn("w", w)
     wlen_sum = F.aggregate(
@@ -281,7 +287,9 @@ def t_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (deterministic argmax heuristic;
     labeled lang carried for accuracy eval downstream)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = T.word_tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -397,7 +405,9 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(copy)
     b = corpus.select(
-        "vec_id", "embedding", S.lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        S.lsh_bucket_fast(F.col("embedding")).alias("bucket"),
     )
     a = b.select(
         F.col("vec_id").alias("id_a"),
@@ -409,11 +419,10 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         "bucket",
     )
-    cos = V.cosine(F.col("emb_a"), F.col("emb_b"))
     return (
         a.join(c, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", V.cosine_pandas(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_raw") >= 0.9999)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
