@@ -87,6 +87,91 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def node_running_stats(
+    stream: DataFrame,
+    key_col: str = "node",
+    value_col: str = "value",
+    ts_col: str = "ingest_ts",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    flatMapGroupsWithState equivalent): per-node lifetime counters the
+    gateway's node registry would keep — frames seen, value sum, last-seen
+    epoch — emitted as an update row per node per micro-batch.
+
+    State is one small tuple per node (bounded: node ids are a finite
+    device population); a processing-time timeout expires nodes silent for
+    ``timeout_minutes`` (state-store hygiene at scale).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_seen_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_frames", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_seen_ms", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            last = max(last, int(pdf[ts_col].astype("int64").max() // 1_000_000))
+        state.update((n, total, last))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "node": [node],
+                "n_frames": [n],
+                "sum_value": [total],
+                "last_seen_ms": [last],
+            }
+        )
+
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"{value_col}",
+            f"{ts_col}",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

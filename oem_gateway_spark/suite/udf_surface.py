@@ -1,0 +1,219 @@
+"""UDF-surface suite (SURVEY §2.6): every user-function extension point —
+row Python UDF, scalar/grouped-agg pandas UDFs, applyInPandas,
+mapInPandas — plus scalar/EXISTS subqueries, with DuckDB oracles computing
+the same math in SQL.
+
+Scale doctrine demonstrated here: the Python paths are Arrow-batched
+(pandas_udf/mapInPandas); the row-at-a-time UDF exists to document the
+anti-pattern (and is kept off the hot path: a 200-row dim table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import DoubleType
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.registry import query
+
+
+@query(
+    "u_python_udf",
+    oracle="""
+    SELECT p_partkey,
+           round(CASE WHEN p_retailprice > 1500 THEN 1500 + (p_retailprice - 1500) * 0.5
+                      ELSE p_retailprice END * 1.1, 4) AS adjusted
+    FROM part
+    """,
+)
+def u_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the documented SLOW path — used only on a
+    dim table here; prefer pandas_udf on anything fact-sized)."""
+
+    @udf(DoubleType())
+    def soft_cap(price: float) -> float:
+        capped = 1500 + (price - 1500) * 0.5 if price > 1500 else price
+        return round(capped * 1.1, 4)
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", soft_cap(F.col("p_retailprice")).alias("adjusted"))
+
+
+@query(
+    "u_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+)
+def u_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: Arrow-vectorized numpy arithmetic over the fact
+    table (the RIGHT way to run Python per-row math at scale)."""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Round JVM-side at 6 decimals: the product of three 2-decimal factors
+    # has exactly 6 decimal digits, so rounding at 4 would sit ON the
+    # half-up midpoint where Spark (BigDecimal) and DuckDB (double) can
+    # disagree; rounding finer than the data's decimal structure is safe.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+    )
+
+
+@query(
+    "u_pandas_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def u_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: custom UDAF (quantity-weighted mean)
+    without a JVM UDAF class; partial aggregation stays Arrow-batched."""
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.dot(price, qty) / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@query(
+    "u_apply_in_pandas",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value * (count(*) OVER w) - sum(value) OVER w, 4) AS dev_scaled
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def u_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: whole-group pandas transform (per-user deviation,
+    scaled by group size) — the escape hatch when window functions can't
+    express the group logic.  One shuffle on the key, bounded group memory.
+
+    Output is ``value*n - sum`` rather than ``value - mean``: subtracting a
+    shared group MEAN puts whole groups a constant distance from a rounding
+    midpoint (mean = sum/n is rational and can land exactly on .00005),
+    where the engines' last-bit float differences flip the rounded digit.
+    The scaled form stays in exact-decimal territory, so round(4) is safe.
+    """
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["event_id", "user_id"]].copy()
+        out["dev_scaled"] = pdf["value"] * len(pdf) - pdf["value"].sum()
+        return out
+
+    ev = load_table(spark, sf_dir, "events")
+    centered = ev.groupBy("user_id").applyInPandas(
+        center, "event_id long, user_id long, dev_scaled double"
+    )
+    # Round JVM-side (pandas .round is half-even, Spark/DuckDB half-up).
+    return centered.withColumn("dev_scaled", F.round("dev_scaled", 4))
+
+
+@query(
+    "u_map_in_pandas",
+    oracle="""
+    SELECT event_id,
+           CAST(length(props) AS INT) AS props_len,
+           CAST(CAST(props->>'$.k' AS INTEGER) * 2 AS INT) AS k_doubled
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def u_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (UDTF-like): arbitrary batch filter+project in pandas;
+    the filter on event_type is applied BEFORE the Python stage so the
+    parquet scan prunes (predicate stays JVM-side)."""
+    import json
+
+    def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "props_len": pdf["props"].str.len().astype("int32"),
+                    "k_doubled": pdf["props"]
+                    .map(lambda s: json.loads(s)["k"] * 2)
+                    .astype("int32"),
+                }
+            )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.mapInPandas(
+        project, "event_id long, props_len int, k_doubled int"
+    )
+
+
+@query(
+    "u_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def u_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a broadcast single-row
+    join; the subquery aggregates map-side first)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders_sq)
+        """
+    )
+
+
+@query(
+    "u_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+    """,
+)
+def u_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated by Catalyst into a left-semi join)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_sq")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier_sq s
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@query("u_approx_percentile", oracle=None)  # t-digest sketch: no exact twin
+def u_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the 100 TB percentile path (mergeable sketch,
+    no per-group sorted materialization).  Rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    )

@@ -1,0 +1,76 @@
+"""Physical-plan assertions (the 100 TB contract): pushdown reaches the
+parquet scan, dims broadcast, the parse chain adds no shuffle beyond its
+declared ones, top-k avoids global sorts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    num_exchanges,
+    pushed_filters,
+)
+from oem_gateway_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    # scan-agg query: exactly one shuffle (the final group-by exchange)
+    assert num_exchanges(df) == 1, explain_str(df)
+
+
+def test_q3_broadcasts_dimension(spark):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+
+
+def test_q5_all_dims_broadcast_single_fact_shuffle(spark):
+    df = REGISTRY["q5_local_supplier_volume"].fn(spark, SF)
+    text = explain_str(df)
+    assert text.count("BroadcastHashJoin") >= 4, text
+    # only lineitem x orders shuffles + the final aggregation exchange
+    assert num_exchanges(df) <= 3, text
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    text = explain_str(df)
+    assert "ReadSchema" in text
+    # only the two referenced columns are read
+    read_schema = text.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_global_topk_avoids_full_sort(spark):
+    df = REGISTRY["q_global_topk"].fn(spark, SF)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_parse_chain_shuffle_free(spark):
+    """P1-P6 must be pure map work: zero exchanges from text to frames."""
+    from oem_gateway_spark.functions import frames as FR
+
+    lines = spark.createDataFrame([("10 1 2",)], "line string")
+    df = FR.parse_rfm2pi_frames(lines)
+    assert num_exchanges(df) == 0, explain_str(df)
+
+
+def test_semi_join_planned(spark):
+    df = REGISTRY["q_semi_join"].fn(spark, SF)
+    assert "LeftSemi" in explain_str(df)
+
+
+def test_anti_join_planned(spark):
+    df = REGISTRY["q_anti_join"].fn(spark, SF)
+    assert "LeftAnti" in explain_str(df)
