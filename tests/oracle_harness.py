@@ -9,9 +9,16 @@ import pandas as pd
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         s = out[c]
+        if s.dtype == object and len(s) and isinstance(
+            s.iloc[0], (list, np.ndarray)
+        ):
+            out[c] = s.map(lambda v: tuple(v))
+            s = out[c]
         # DuckDB returns decimal/hugeint counts as object or different int
         # widths; unify numerics.
         if s.dtype == object and len(s) and isinstance(s.iloc[0], (int,)):
