@@ -28,6 +28,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 from pyspark.sql.streaming import StreamingQuery
 
 from oem_gateway_spark.config import GatewayConfig
@@ -49,12 +50,14 @@ class GatewayPipeline:
         checkpoint_root: str,
         poster: Callable[[str], str] | None = None,
         rfm2pi: bool = False,
+        parquet_sink_dir: str | None = None,
     ):
         self.spark = spark
         self.config = config
         self.checkpoint_root = checkpoint_root
         self.poster = poster
         self.rfm2pi = rfm2pi
+        self.parquet_sink_dir = parquet_sink_dir
         self.queries: list[StreamingQuery] = []
         self.sinks: dict[str, EmoncmsSink] = {}
 
@@ -116,6 +119,23 @@ class GatewayPipeline:
                 .queryName(f"gateway-sink-{bc.name}")
             ).start()
             self.queries.append(q)
+
+        if self.parquet_sink_dir:
+            # The 100 TB delivery target: readings appended as parquet
+            # partitioned by node (at scale: node + date) — columnar,
+            # partition-pruned, no per-row HTTP in the path.
+            readings = parsed.withColumn("node_part", F_col("node"))
+            pq = trig(
+                readings.writeStream.format("parquet")
+                .partitionBy("node_part")
+                .option("path", self.parquet_sink_dir)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(self.checkpoint_root, "sink-parquet"),
+                )
+                .queryName("gateway-parquet-sink")
+            ).start()
+            self.queries.append(pq)
 
         dlq = trig(
             rejects.writeStream.foreachBatch(

@@ -188,6 +188,35 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, mode="append")
 
 
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+           round(e.value, 4) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming stream-static join: the event stream enriched with
+    the (broadcastable) customer dimension — stateless per micro-batch, so
+    the bounded replay equals the plain batch join oracle.  This is the
+    gateway's node-registry enrichment pattern at scale."""
+    ev = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(dim), ev.user_id == dim.c_custkey
+    ).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        F.round("value", 4).alias("value"),
+    )
+    return _run_to_table(joined, mode="append")
+
+
 @query("stream_stream_join", oracle=None)  # interval-join row set depends on
 # watermark progress at replay end; recorded rows-only, asserted in pytest.
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

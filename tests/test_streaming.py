@@ -264,3 +264,29 @@ def test_config_watcher_restart(spark, scratch, tmp_path):
     assert any("apikey=k1" in u for u in urls)
     k2_urls = [u for u in urls if "apikey=k2" in u]
     assert len(k2_urls) == 1 and "13" in k2_urls[0]
+
+
+def test_parquet_sink_partitioned(spark, scratch):
+    """Delivery to the columnar store target: readings appended as parquet
+    partitioned by node (the 100 TB sink path alongside HTTP delivery)."""
+    from oem_gateway_spark.streaming.pipeline import GatewayPipeline
+
+    inp = _write_frames(scratch, FRAMES)
+    out = os.path.join(scratch, "readings")
+    pipe = GatewayPipeline(
+        spark,
+        _gateway_config(inp),
+        os.path.join(scratch, "ckpt"),
+        poster=lambda u: "ok",
+        parquet_sink_dir=out,
+    )
+    pipe.start(trigger_available_now=True)
+    pipe.await_all(timeout_s=120)
+    pipe.stop()
+
+    df = spark.read.parquet(out)
+    rows = {r["node"]: list(r["values"]) for r in df.collect()}
+    assert rows == {10: [822.0, 1021.0, 1.0], 11: [7.5, -3.25], 12: [1.0, 2.0, 3.0]}
+    # physically partitioned by node
+    parts = {d for d in os.listdir(out) if d.startswith("node_part=")}
+    assert parts == {"node_part=10", "node_part=11", "node_part=12"}
