@@ -64,6 +64,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Headline throughput vs the reference: frames parsed per second
+    # through the full serial classify+parse+explode chain.  The reference
+    # gateway caps at ~5 frames/s/listener (BASELINE.md: one read() per
+    # 0.2 s tick); this is the same dataflow at engine speed.
+    n_frames = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    )
+    frames_per_sec = round(n_frames / max(timings["g_parse_serial"], 1e-9), 1)
+
     print(
         json.dumps(
             {
@@ -72,6 +82,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "parse_frames_per_sec": frames_per_sec,
+                "reference_frames_per_sec": 5.0,
             }
         )
     )

@@ -14,3 +14,4 @@ from oem_gateway_spark.suite import llm  # noqa: F401,E402
 from oem_gateway_spark.suite import streaming_batch  # noqa: F401,E402
 from oem_gateway_spark.suite import udf_surface  # noqa: F401,E402
 from oem_gateway_spark.suite import scalar_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import relational_extra  # noqa: F401,E402
