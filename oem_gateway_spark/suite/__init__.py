@@ -15,3 +15,4 @@ from oem_gateway_spark.suite import streaming_batch  # noqa: F401,E402
 from oem_gateway_spark.suite import udf_surface  # noqa: F401,E402
 from oem_gateway_spark.suite import scalar_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import relational_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import udtf_cogroup  # noqa: F401,E402

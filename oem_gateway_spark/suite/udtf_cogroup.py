@@ -1,0 +1,110 @@
+"""Final §2.6 API surfaces: cogrouped applyInPandas and Python UDTF."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.registry import query
+
+
+@query(
+    "u_cogroup",
+    oracle="""
+    WITH e AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+                      round(sum(value), 4) AS sum_value
+               FROM events GROUP BY user_id),
+         o AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders,
+                      round(sum(o_totalprice), 4) AS sum_spend
+               FROM orders GROUP BY o_custkey)
+    SELECT coalesce(e.key, o.key) AS key,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(e.sum_value, 0) AS sum_value,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.sum_spend, 0) AS sum_spend
+    FROM e FULL OUTER JOIN o ON e.key = o.key
+    """,
+)
+def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: two datasets grouped on the same key,
+    merged per key in one pandas function (the two-sided escape hatch —
+    both sides shuffle once on the key; per-key memory bounded)."""
+
+    def merge(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            events["user_id"].iloc[0]
+            if len(events)
+            else orders["o_custkey"].iloc[0]
+        )
+        return pd.DataFrame(
+            {
+                "key": [int(key)],
+                "n_events": [len(events)],
+                "sum_value": [float(events["value"].sum()) if len(events) else 0.0],
+                "n_orders": [len(orders)],
+                "sum_spend": [
+                    float(orders["o_totalprice"].sum()) if len(orders) else 0.0
+                ],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    merged = (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "key long, n_events long, sum_value double, n_orders long, sum_spend double",
+        )
+    )
+    # Round JVM-side (half-up parity with the oracle).
+    return merged.select(
+        "key",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "n_orders",
+        F.round("sum_spend", 4).alias("sum_spend"),
+    )
+
+
+@query(
+    "u_python_udtf",
+    oracle="""
+    SELECT doc_id, w AS word, CAST(i - 1 AS INT) AS pos
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 0)) AS w,
+             generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) > 0), 1) AS i
+      FROM documents)
+    WHERE i <= 5
+    """,
+)
+def u_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row -> many output rows via a
+    lateral join — the table-function surface (here: first-5 word
+    positions per document)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class FirstWords:
+        def eval(self, text: str):
+            import re
+
+            words = [w for w in re.split(r"[^a-z0-9]+", (text or "").lower()) if w]
+            for i, w in enumerate(words[:5]):
+                yield w, i
+
+    spark.udtf.register("first_words", FirstWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos
+        FROM docs_udtf d, LATERAL first_words(d.text) t
+        """
+    )
