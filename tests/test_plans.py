@@ -74,3 +74,39 @@ def test_semi_join_planned(spark):
 def test_anti_join_planned(spark):
     df = REGISTRY["q_anti_join"].fn(spark, SF)
     assert "LeftAnti" in explain_str(df)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing (the 100 TB co-located join story): two tables bucketed
+    on the join key join WITHOUT any shuffle exchange."""
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+    )
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("ord_bucketed")
+        # disable broadcast so the join must pick a shuffle-or-bucketed plan
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, a.l_orderkey == b.o_orderkey)
+            assert num_exchanges(joined) == 0, explain_str(joined)
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
