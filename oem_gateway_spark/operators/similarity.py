@@ -100,6 +100,107 @@ def lsh_bucket_sql(vec_expr: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+N_CENTROIDS = 8
+
+
+def _centroid_values(c: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random IVF centroids (same construction as the
+    LSH planes, different seed-space).  In production these come from a
+    k-means fit; the assignment/pruning machinery is identical."""
+    vals = []
+    for i in range(dim):
+        h = zlib.crc32(struct.pack(">III", 0xC3, c, i)) & 0xFFFFFFFF
+        vals.append(round(h / 0xFFFFFFFF * 2 - 1, 9))
+    return vals
+
+
+CENTROIDS: list[list[float]] = [_centroid_values(c) for c in range(N_CENTROIDS)]
+
+
+def centroid_sql(c: int) -> str:
+    return "[" + ", ".join(repr(v) for v in CENTROIDS[c]) + "]"
+
+
+def ivf_cell(vec: Column) -> Column:
+    """IVF cell id = argmin squared distance to the centroids, computed
+    as one numpy matmul per Arrow batch.  ||v-c||^2 = ||v||^2 - 2 v.c +
+    ||c||^2; ||v||^2 is constant per row, so argmin over (||c||^2 - 2 v.c)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(CENTROIDS, dtype="float64")  # (k, dim)
+    c_sq = np.einsum("ij,ij->i", cents, cents)  # (k,)
+
+    @pandas_udf("int")
+    def _cell(xs: pd.Series) -> pd.Series:
+        xm = np.stack(xs.to_numpy()).astype("float64")  # (n, dim)
+        scores = c_sq[None, :] - 2.0 * (xm @ cents.T)  # (n, k)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return _cell(vec)
+
+
+def ivf_cell_sql(vec_expr: str) -> str:
+    """DuckDB twin of ivf_cell: explicit argmin over the centroid scores
+    (sequential-fold dots; ties impossible with random data)."""
+    scores = []
+    for c in range(N_CENTROIDS):
+        d = V.dot_sql_duckdb(vec_expr, centroid_sql(c))
+        c_sq = sum(v * v for v in CENTROIDS[c])
+        scores.append(f"({c_sq!r} - 2.0 * ({d}))")
+    # argmin via CASE chain (strictly-less keeps the lowest index on ties,
+    # matching numpy argmin).
+    expr_idx, expr_best = "0", scores[0]
+    for c in range(1, N_CENTROIDS):
+        expr_idx = (
+            f"CASE WHEN ({scores[c]}) < ({expr_best}) THEN {c} ELSE ({expr_idx}) END"
+        )
+        expr_best = (
+            f"CASE WHEN ({scores[c]}) < ({expr_best}) THEN ({scores[c]}) ELSE ({expr_best}) END"
+        )
+    return f"CAST({expr_idx} AS INT)"
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: compare only same-cell pairs (nearest-centroid
+    partitioning).  Same pruning frame as the LSH path with k-means cells;
+    at 100 TB the corpus is written cell-partitioned and a query probes
+    its cell (+ nprobe neighbors for recall)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        ivf_cell(F.col(vec_col)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_raw", V.cosine_pandas(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cell", "cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

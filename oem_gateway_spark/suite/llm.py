@@ -452,3 +452,85 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs)
     return M.extract_features(media)
+
+
+def _ivf_oracle(k: int = 3, stride: int = 100) -> str:
+    cell = S.ivf_cell_sql("embedding")
+    cos = V.cosine_sql_duckdb("c.embedding", "q.embedding")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id % {stride} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+             {cos} AS cos_raw
+      FROM b c JOIN q USING (cell)
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cell, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@query("s_ivf_ann_topk", oracle=_ivf_oracle())
+def s_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: nearest-centroid cells prune the search space (the
+    k-means flavored alternative to hyperplane LSH; deterministic centroid
+    constants shared with the oracle, argmin tie order = numpy's)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_ann_topk(emb, queries, k=3)
+
+
+_DATA_PREP_ORACLE = f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, text, {H.words_sql('text')} AS w FROM corpus
+    ), scored AS (
+      SELECT doc_id, text,
+             CAST(len(w) AS INT) AS n_words,
+             CAST({T.bpe_token_count_sql('text')} AS INT) AS bpe_tokens,
+             CAST({T.stopword_hits_sql('w', 'en')} AS BIGINT) AS sw_hits,
+             {T.fingerprint_sql('text')} AS fp
+      FROM toks
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20 AND bpe_tokens <= 2000 AND sw_hits >= 1
+    ), dedup AS (
+      SELECT fp, min(doc_id) AS doc_id FROM quality GROUP BY fp
+    )
+    SELECT q.doc_id, q.n_words, q.bpe_tokens
+    FROM quality q JOIN dedup d ON q.fp = d.fp AND q.doc_id = d.doc_id
+    """
+
+
+@query("pipeline_data_prep", oracle=_DATA_PREP_ORACLE)
+def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep (the north-star composition): corpus
+    -> quality gates (min words, token budget, stopword evidence) -> exact
+    dedup keep-first -> surviving docs.  Every stage is an operator tested
+    elsewhere; this query proves they compose into one Catalyst plan
+    (filters before the hash shuffle, one dedup exchange)."""
+    corpus = _corpus(spark, sf_dir)
+    w = H.words(F.col("text"))
+    scored = corpus.select(
+        "doc_id",
+        "text",
+        F.size(w).alias("n_words"),
+        T.bpe_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+        T.stopword_hits(w, "en").cast("long").alias("sw_hits"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    quality = scored.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("bpe_tokens") <= 2000)
+        & (F.col("sw_hits") >= 1)
+    )
+    keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return quality.join(keep, on=["fp", "doc_id"], how="left_semi").select(
+        "doc_id", "n_words", "bpe_tokens"
+    )
+
+
