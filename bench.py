@@ -33,6 +33,8 @@ HEADLINE = [
     "t_text_stats",
     "s_cosine_topk",
     "s_ann_lsh_topk",
+    "s_ivf_ann_topk",
+    "pipeline_data_prep",
 ]
 
 
