@@ -156,3 +156,99 @@ def test_apply_in_pandas_with_state_running_stats(spark, scratch):
         latest[r["node"]] = (r["n_frames"], r["sum_value"])
     assert latest[10] == (3, 5.0)
     assert latest[11] == (1, 4.0)
+
+
+def test_incremental_rollup_across_batches(spark, scratch):
+    """Continuous aggregation: the rollup store after two micro-batches
+    equals the single-shot aggregation of all rows (decomposable merge)."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.functions import frames as FR
+    from oem_gateway_spark.streaming.rollup import IncrementalRollup
+
+    inp = os.path.join(scratch, "in")
+    os.makedirs(inp)
+    with open(os.path.join(inp, "b1.txt"), "w") as f:
+        f.write("10 5\n10 7\n11 1\n")
+    with open(os.path.join(inp, "b2.txt"), "w") as f:
+        f.write("10 3\n11 9\n")
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(inp)
+    parsed = FR.parse_serial_frames(
+        raw.withColumnRenamed("value", "line")
+    ).withColumn("ingest_ts", F.lit("2024-01-01 00:10:00").cast("timestamp"))
+
+    store = os.path.join(scratch, "rollup")
+    ru = IncrementalRollup(store)
+    q = (
+        parsed.writeStream.foreachBatch(ru.process_batch)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {
+        (r["node"]): (r["n_frames"], r["sum_v0"], r["min_v0"], r["max_v0"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows == {10: (3, 15.0, 3.0, 7.0), 11: (2, 10.0, 1.0, 9.0)}
+
+
+def test_watermark_bounded_dedup_state(spark, scratch):
+    """M4 watermark contract for streaming dedup (empirically pinned):
+    duplicates arriving while the key's state lives are suppressed; once
+    the watermark (which propagates with one batch of lag) passes an event
+    time, stragglers with that event time are DROPPED as late input and
+    the key's state is evicted — so state stays bounded and old rows can
+    never grow it back.  Exactly-once within the horizon, documented
+    at-least-once beyond it: the guarantee that keeps streaming dedup
+    feasible at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    inp = os.path.join(scratch, "in")
+    os.makedirs(inp)
+    # b1: A and B arrive (watermark after b1: 10:05 - 10min = 09:55)
+    with open(os.path.join(inp, "b1.txt"), "w") as f:
+        f.write("A,2024-01-01 10:00:00\nB,2024-01-01 10:05:00\n")
+    # b2: duplicate A while its state is live (10:00 >= 09:55) -> suppressed;
+    #     C advances the watermark to 12:50, evicting A's and B's state
+    with open(os.path.join(inp, "b2.txt"), "w") as f:
+        f.write("A,2024-01-01 10:00:00\nC,2024-01-01 13:00:00\n")
+    # b3: duplicate A again — suppressed (state still live this batch)
+    with open(os.path.join(inp, "b3.txt"), "w") as f:
+        f.write("A,2024-01-01 10:00:00\n")
+    # b4: duplicate A AND a brand-new key D, both with event times far
+    # behind the (now fully propagated) 12:50 watermark -> both dropped
+    # as LATE input; D proves the late filter (not dedup state) does it
+    with open(os.path.join(inp, "b4.txt"), "w") as f:
+        f.write("A,2024-01-01 10:00:00\nD,2024-01-01 10:01:00\n")
+    # file-source batch order follows modification time: force b1 < ... < b4
+    base = 1_700_000_000
+    for i, name in enumerate(["b1.txt", "b2.txt", "b3.txt", "b4.txt"]):
+        os.utime(os.path.join(inp, name), (base + i * 10, base + i * 10))
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(inp)
+    ev = raw.select(
+        F.split("value", ",")[0].alias("key"),
+        F.split("value", ",")[1].cast("timestamp").alias("ts"),
+    )
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["key"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    counts: dict[str, int] = {}
+    for r in spark.table("wm_dedup_test").collect():
+        counts[r["key"]] = counts.get(r["key"], 0) + 1
+    # A once (b2/b3 dups suppressed by live state; b4 dup dropped late);
+    # D never appears (late input dropped before touching state).
+    assert counts == {"A": 1, "B": 1, "C": 1}, counts
