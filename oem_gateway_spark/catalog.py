@@ -32,13 +32,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  The conf
+    is runtime-settable, and callers (the correctness driver in particular)
+    may hand us a bare SparkSession that never went through
+    ``session.get_spark`` — so assert it here, immediately before any read
+    that could touch events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # TIMESTAMP(NANOS) arrives as long (session.py nanosAsLong); values
-        # are exact microseconds, so this conversion is lossless.
+        # TIMESTAMP(NANOS) arrives as long (nanosAsLong); values are exact
+        # microseconds, so this conversion is lossless.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 

@@ -43,6 +43,36 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+# Subset of DEFAULT_CONF that is runtime-settable AND matters for
+# correctness (timeZone: timestamp semantics vs the DuckDB oracle;
+# nanosAsLong: events.parquet readability) or performance (Arrow, AQE,
+# shuffle-partition ceiling, broadcast threshold).  Asserted per-query via
+# ensure_runtime_conf so results don't depend on who built the session —
+# the correctness driver hands queries a bare SparkSession (VERDICT r1).
+RUNTIME_CONF_KEYS: tuple[str, ...] = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.files.maxPartitionBytes",
+    "spark.sql.parquet.filterPushdown",
+)
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Assert the runtime-settable engine conf on an arbitrary session."""
+    for k in RUNTIME_CONF_KEYS:
+        try:
+            spark.conf.set(k, DEFAULT_CONF[k])
+        except Exception:
+            pass  # conf removed/renamed in a future Spark: degrade gracefully
+    return spark
+
+
 def get_spark(
     app_name: str = "oem-gateway-spark",
     master: str | None = None,
@@ -63,7 +93,12 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    # Session-level (re-assert in case an existing session was returned).
-    for k in ("spark.sql.session.timeZone", "spark.sql.adaptive.enabled"):
-        spark.conf.set(k, conf[k])
+    # getOrCreate may return a pre-existing session whose conf ignores the
+    # builder values — re-assert every runtime-settable key (static confs
+    # like driver.memory raise CANNOT_MODIFY_CONFIG; skip those).
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on an existing session; builder value applies
     return spark

@@ -9,10 +9,13 @@ HUGEINT otherwise).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+from oem_gateway_spark.session import ensure_runtime_conf
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -34,7 +37,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, doc=(fn.__doc__ or "").strip())
-        return fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver may pass a bare session (200 shuffle partitions, no
+            # AQE, unpinned timezone, no nanos conf): pin the runtime-settable
+            # conf so results and plans match get_spark sessions exactly.
+            ensure_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name, wrapped, oracle, doc=(fn.__doc__ or "").strip())
+        return wrapped
 
     return deco

@@ -67,6 +67,9 @@ def _stream_dir(sf_dir: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (schema from the batch reader;
     nanos column normalized exactly like the catalog does)."""
+    from oem_gateway_spark.catalog import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)  # driver may pass a bare session (VERDICT r1 #1)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(batch.schema).parquet(_stream_dir(sf_dir))
     from pyspark.sql.types import LongType
