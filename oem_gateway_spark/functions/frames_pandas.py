@@ -8,6 +8,12 @@ the full classify+decode chain.  This module does the identical work in
 vectorized pandas/numpy at ~10-50x the throughput; tests assert row-exact
 equivalence on the corpus fixtures (test_frames_equivalence).
 
+Vectorization shape (r2): tokens of a whole Arrow batch flatten into ONE
+object array; a single ``pd.to_numeric(errors="coerce")`` pass replaces all
+per-row/per-token ``float()`` calls, and per-row reductions run as
+``np.bincount`` over a row-index vector.  The only remaining per-row work is
+slicing the converted numeric array back into per-row value lists.
+
 At 100 TB the parse chain is the per-byte hot path, so this is the
 production variant; the HOF chain remains the readable reference and the
 fallback where Python workers are unavailable.
@@ -15,6 +21,7 @@ fallback where Python workers are unavailable.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,79 +47,100 @@ from oem_gateway_spark.functions.frames import (
 )
 
 
-def _classify_batch(lines: pd.Series, rfm2pi: bool) -> tuple[pd.Series, pd.Series]:
-    """Vectorized classification: returns (reason, token-lists)."""
-    stripped = lines.fillna("").str.strip()
-    toks = stripped.str.split()  # split on whitespace runs == tokenize()
-    reason = pd.Series(VALID, index=lines.index, dtype=object)
+class _TokenBatch:
+    """Flattened token view of one Arrow batch of frame lines.
 
-    empty = stripped == ""
-    reason[empty] = REASON_EMPTY
+    ``nums[i]`` is the float value of flat token i (NaN if not a finite
+    number by the spec's rules); ``starts[r]:starts[r]+lens[r]`` is row r's
+    token span; ``reason[r]`` is the classification outcome.
+    """
 
-    first = toks.map(lambda t: t[0] if t else "")
-    info = (~empty) & (first.str.startswith(">") | first.str.startswith("?"))
-    reason[info] = REASON_INFO
+    __slots__ = ("reason", "lens", "starts", "nums", "is_int")
 
-    undecided = ~(empty | info)
+    def __init__(self, lines: pd.Series, rfm2pi: bool):
+        n = len(lines)
+        stripped = lines.fillna("").str.strip()
+        toks = stripped.str.split()
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = pd.Series(
+            list(itertools.chain.from_iterable(toks.tolist())), dtype="object"
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        if n:
+            np.cumsum(lens[:-1], out=starts[1:])
+        row_of = np.repeat(np.arange(n), lens)
 
-    def all_numeric(t: list[str]) -> bool:
-        # Finite numbers only: NaN/Inf tokens reject the frame in both the
-        # spec and fast paths (measurement frames are finite by contract).
-        import math
+        # One vectorized numeric pass for the whole batch.  Spec parity with
+        # float(): underscores reject ('1_0' — Python accepts, Spark's cast
+        # doesn't), non-finite rejects (nan/inf tokens and 1e999 overflow).
+        nums = pd.to_numeric(flat, errors="coerce").to_numpy(dtype=np.float64)
+        if len(flat):
+            has_us = flat.str.contains("_", regex=False).to_numpy()
+            tok_bad = ~np.isfinite(nums) | has_us
+            nums = np.where(has_us, np.nan, nums)
+        else:
+            tok_bad = np.zeros(0, dtype=bool)
+        # Integer-token test (rfm2pi node/byte grammar = int(), not float()).
+        is_int = (
+            flat.str.fullmatch(r"[+-]?[0-9]+").to_numpy()
+            if len(flat)
+            else np.zeros(0, dtype=bool)
+        )
 
-        for x in t:
-            # Python float() accepts '1_0'; Spark's cast does not — guard.
-            if "_" in x:
-                return False
-            try:
-                v = float(x)
-            except ValueError:
-                return False
-            if math.isnan(v) or math.isinf(v):
-                return False
-        return True
+        def rows_with(tok_mask: np.ndarray) -> np.ndarray:
+            return np.bincount(row_of[tok_mask], minlength=n) > 0
 
-    nonnum = undecided & ~toks.map(all_numeric)
-    reason[nonnum] = REASON_NON_NUMERIC
-    undecided &= ~nonnum
+        reason = np.full(n, VALID, dtype=object)
+        empty = (stripped == "").to_numpy()
+        reason[empty] = REASON_EMPTY
+        info = (~empty) & stripped.str[0:1].isin([">", "?"]).to_numpy()
+        reason[info] = REASON_INFO
+        undecided = ~(empty | info)
 
-    short = undecided & (toks.map(len) < 2)
-    reason[short] = REASON_NO_VALUES
-    undecided &= ~short
+        nonnum = undecided & rows_with(tok_bad)
+        reason[nonnum] = REASON_NON_NUMERIC
+        undecided &= ~nonnum
 
-    if rfm2pi:
-        def bad_node(t: list[str]) -> bool:
-            if not t or "_" in t[0]:
-                return True
-            try:
-                int(t[0])
-            except ValueError:
-                return True
-            return False
+        short = undecided & (lens < 2)
+        reason[short] = REASON_NO_VALUES
+        undecided &= ~short
 
-        nn = undecided & toks.map(bad_node)
-        reason[nn] = REASON_NON_NUMERIC
-        undecided &= ~nn
+        if rfm2pi:
+            is_first = np.zeros(len(flat), dtype=bool)
+            is_first[starts[lens > 0]] = True
+            bad_node = undecided & rows_with(is_first & ~is_int)
+            reason[bad_node] = REASON_NON_NUMERIC
+            undecided &= ~bad_node
 
-        def bad_byte(t: list[str]) -> bool:
-            for x in t[1:]:
-                if "_" in x:
-                    return True
-                try:
-                    v = int(x)
-                except ValueError:
-                    return True
-                if v < 0 or v > 255:
-                    return True
-            return False
+            bad_byte_tok = ~is_first & (~is_int | (nums < 0) | (nums > 255))
+            bad = undecided & rows_with(bad_byte_tok)
+            reason[bad] = REASON_BYTE_RANGE
+            undecided &= ~bad
 
-        bad = undecided & toks.map(bad_byte)
-        reason[bad] = REASON_BYTE_RANGE
-        undecided &= ~bad
-        odd = undecided & toks.map(lambda t: (len(t) - 1) % 2 != 0)
-        reason[odd] = REASON_ODD_PARITY
+            odd = undecided & ((lens - 1) % 2 != 0)
+            reason[odd] = REASON_ODD_PARITY
 
-    return reason, toks
+        self.reason = reason
+        self.lens = lens
+        self.starts = starts
+        self.nums = nums
+        self.is_int = is_int
+
+    def values_per_row(self, rows: np.ndarray) -> list[np.ndarray]:
+        """Per-row value arrays (tokens after the node id) for given rows —
+        slices of the one converted numeric array, no re-parsing."""
+        # ndarray.tolist() is a single C call per row — cheap next to the
+        # float parsing it replaced; Arrow's converter wants list cells.
+        return [
+            self.nums[s + 1 : s + ln].tolist()
+            for s, ln in zip(self.starts[rows], self.lens[rows])
+        ]
+
+
+def _classify_batch(lines: pd.Series, rfm2pi: bool) -> tuple[pd.Series, _TokenBatch]:
+    """Vectorized classification: (reason series, token batch)."""
+    tb = _TokenBatch(lines, rfm2pi)
+    return pd.Series(tb.reason, index=lines.index, dtype=object), tb
 
 
 def parse_serial_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame:
@@ -129,20 +157,24 @@ def parse_serial_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            reason, toks = _classify_batch(pdf[line_col], rfm2pi=False)
-            ok = reason == VALID
-            good = toks[ok]
+            reason, tb = _classify_batch(pdf[line_col], rfm2pi=False)
+            ok = (reason == VALID).to_numpy()
+            rows = np.flatnonzero(ok)
             out = pdf.loc[ok, names].copy()
-            out["node"] = good.map(lambda t: int(float(t[0]))).astype("int32")
-            out["values"] = good.map(lambda t: [float(x) for x in t[1:]])
+            # node = int(float(tok0)): C-cast truncation toward zero matches.
+            out["node"] = tb.nums[tb.starts[rows]].astype(np.int32)
+            out["values"] = pd.Series(
+                tb.values_per_row(rows), index=out.index, dtype=object
+            )
             yield out
 
     return df.mapInPandas(_batches, out_schema)
 
 
 def parse_rfm2pi_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame:
-    """Vectorized twin of frames.parse_rfm2pi_frames (int16 pair decode
-    via numpy: lo + 256*hi, two's complement at >= 32768)."""
+    """Vectorized twin of frames.parse_rfm2pi_frames (int16 pair decode:
+    lo + 256*hi, two's complement at >= 32768) — one global numpy pass for
+    the whole batch, no per-row decode calls."""
     passthrough = [f for f in df.schema.fields if f.name != line_col]
     out_schema = StructType(
         passthrough
@@ -153,19 +185,27 @@ def parse_rfm2pi_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame
     )
     names = [f.name for f in passthrough]
 
-    def decode(t: list[str]) -> list[int]:
-        b = np.array([int(x) for x in t[1:]], dtype=np.int64)
-        raw = b[0::2] + 256 * b[1::2]
-        return list(np.where(raw >= 32768, raw - 65536, raw).astype(np.int32))
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            reason, toks = _classify_batch(pdf[line_col], rfm2pi=True)
-            ok = reason == VALID
-            good = toks[ok]
+            reason, tb = _classify_batch(pdf[line_col], rfm2pi=True)
+            ok = (reason == VALID).to_numpy()
+            rows = np.flatnonzero(ok)
             out = pdf.loc[ok, names].copy()
-            out["node"] = good.map(lambda t: int(t[0])).astype("int32")
-            out["values"] = good.map(decode)
+            out["node"] = tb.nums[tb.starts[rows]].astype(np.int32)
+            # Global pair decode: flat positions of lo bytes across all
+            # valid rows, one add/compare pass, then slice back per row.
+            nvals = (tb.lens[rows] - 1) // 2
+            total = int(nvals.sum())
+            cum0 = np.zeros(len(rows), dtype=np.int64)
+            if len(rows):
+                np.cumsum(nvals[:-1], out=cum0[1:])
+            j = np.arange(total, dtype=np.int64) - np.repeat(cum0, nvals)
+            lo = np.repeat(tb.starts[rows] + 1, nvals) + 2 * j
+            raw = (tb.nums[lo] + 256 * tb.nums[lo + 1]).astype(np.int64)
+            dec = np.where(raw >= 32768, raw - 65536, raw).astype(np.int32)
+            bounds = np.cumsum(nvals)[:-1] if len(rows) else []
+            vals = [a.tolist() for a in np.split(dec, bounds)] if len(rows) else []
+            out["values"] = pd.Series(vals, index=out.index, dtype=object)
             yield out
 
     return df.mapInPandas(_batches, out_schema)

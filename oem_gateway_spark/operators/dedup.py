@@ -31,6 +31,29 @@ from oem_gateway_spark.functions import hashing as H
 from oem_gateway_spark.functions import text as T
 
 
+def _own_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tag ``result`` with the persisted inputs it depends on.
+
+    The persist() inside these operators must outlive the caller's action,
+    so the operator cannot unpersist eagerly; instead the caller owns the
+    lifetime: materialize, then call release_caches(result).  Long-running
+    hosts (bench loops, the suite harness) would otherwise leak cached
+    blocks across invocations (ADVICE r1)."""
+    result._owned_caches = list(getattr(result, "_owned_caches", ())) + list(cached)
+    return result
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist every cache an operator attached to ``df`` (no-op for
+    DataFrames without owned caches).  Call after the action completes."""
+    for cached in getattr(df, "_owned_caches", ()):
+        try:
+            cached.unpersist()
+        except Exception:  # noqa: BLE001 - session already stopped
+            pass
+    df._owned_caches = []
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -69,12 +92,41 @@ def minhash_signature(
     n_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Append mh_0..mh_{n-1} MinHash components (seeds = 0..n-1)."""
+    """Append mh_0..mh_{n-1} MinHash components (seeds = 0..n-1).
+
+    Pure per-row map (works on any df, no id required) — but the array
+    lambdas run interpreted; prefer :func:`minhash_components` on the hot
+    path when a unique id column exists."""
     shingle_arr = H.shingles(H.words(F.col(text_col)), k=shingle_k)
     out = df.withColumn("_shingles", shingle_arr)
     for s in range(n_hashes):
         out = out.withColumn(f"mh_{s}", H.minhash(F.col("_shingles"), s))
     return out.drop("_shingles")
+
+
+def minhash_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) via shingle explode + n min-aggregates.
+
+    Same math as :func:`minhash_signature`, different physical shape:
+    Spark evaluates array-lambda HOFs interpreted (one pass per seed, no
+    codegen), while this runs the md5 chain on FLAT columns inside
+    whole-stage codegen — the shingle array is built once per doc, and
+    hash-partial-aggregation collapses each doc to one row per partition
+    before the single id shuffle, so at 100 TB the exchange carries docs,
+    not docs x shingles."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(H.shingles(H.words(F.col(text_col)), k=shingle_k)).alias("_sh"),
+    )
+    return sh.groupBy(id_col).agg(
+        *[F.min(H.hash32(F.col("_sh"), s)).alias(f"mh_{s}") for s in range(n_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -93,10 +145,7 @@ def minhash_lsh_pairs(
     (id_a, id_b, n_equal_minhash) with id_a < id_b, distinct.
     """
     rows = n_hashes // n_bands
-    sig = minhash_signature(df, text_col, n_hashes).select(
-        F.col(id_col),
-        *[F.col(f"mh_{s}") for s in range(n_hashes)],
-    )
+    sig = minhash_components(df, id_col, text_col, n_hashes)
     # The signature feeds both join sides and every band: persist so the
     # md5/shingle work runs ONCE.  (At 100 TB: write signatures to a
     # bucketed table instead — same idea, durable.)
@@ -154,12 +203,13 @@ def minhash_lsh_pairs(
         F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
         for s in range(n_hashes)
     )
-    return (
+    result = (
         cand.withColumn("n_equal_minhash", n_eq.cast("int"))
         .filter(F.col("n_equal_minhash") >= min_equal)
         .select("id_a", "id_b", "n_equal_minhash")
         .distinct()
     )
+    return _own_cache(result, sig)
 
 
 def simhash_signatures(
@@ -186,11 +236,12 @@ def simhash_pairs(
     sig = simhash_signatures(df, id_col, text_col).persist()
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))
-    return (
+    result = (
         a.join(b, on="simhash")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
     )
+    return _own_cache(result, sig)
 
 
 def ngram_jaccard_pairs(

@@ -60,15 +60,22 @@ def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(blob: bytes) -> "object":
-    """Real image decode — unavailable in this container (no PIL/cv2).
-
-    Kept as the single seam where a codec drops in; the pipeline shape
+    """Real image decode — import-gated on Pillow (not shipped in this
+    container; ``pip install pillow`` activates it — README 'Environment
+    seams').  The single seam where a codec drops in; the pipeline shape
     (mapInPandas over binary + metadata) does not change when it does.
     """
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "use extract_features' deterministic byte features instead"
-    )
+    try:
+        from PIL import Image  # noqa: PLC0415 - the seam itself
+    except ImportError as e:  # pragma: no cover - no codec in container
+        raise NotImplementedError(
+            "image codecs not available in this environment; install pillow "
+            "to activate this seam (README: Environment seams) or use "
+            "extract_features' deterministic byte features instead"
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(blob))
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -58,7 +58,8 @@ class SerialFrameSimpleReader(SimpleDataSourceStreamReader):
                 import serial  # noqa: F401
             except ImportError as e:  # pragma: no cover - no pyserial here
                 raise NotImplementedError(
-                    "pyserial not installed in this environment; "
+                    "pyserial not installed in this environment; install it "
+                    "to open real devices (README: Environment seams) or "
                     "use option 'path' for file replay"
                 ) from e
 

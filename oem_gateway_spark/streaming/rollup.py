@@ -52,17 +52,32 @@ class IncrementalRollup:
             )
         )
 
+    def _read_complete(self, spark: SparkSession, path: str) -> DataFrame | None:
+        """Read ``path`` only if it holds a COMMITTED parquet write.
+
+        ``_SUCCESS`` is Spark's commit marker: an interrupted overwrite
+        deletes it first and re-creates it last, so its presence means the
+        directory is a complete, readable snapshot.  A genuine read failure
+        on a committed directory raises instead of being swallowed (a silent
+        ``None`` here would reset the rollup history — ADVICE r1)."""
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return spark.read.parquet(path)
+
     def read_store(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(self.store_dir):
-            return None
-        try:
-            return spark.read.parquet(self.store_dir)
-        except Exception:  # noqa: BLE001 - empty dir on first batch
-            return None
+        """The committed rollup: the main store, else the ``.tmp`` copy
+        (main store died mid-overwrite — ``.tmp`` was fully written first
+        and holds the same merged content), else None (no batch yet)."""
+        df = self._read_complete(spark, self.store_dir)
+        if df is None:
+            df = self._read_complete(spark, self.store_dir + ".tmp")
+        return df
 
     def merge(self, existing: DataFrame | None, partial: DataFrame) -> DataFrame:
         """Combine partial aggregates with the stored rollup (exact for
         decomposable aggregates)."""
+        if existing is not None and "merged_batch_id" in existing.columns:
+            existing = existing.drop("merged_batch_id")
         merged = partial if existing is None else existing.unionByName(partial)
         return merged.groupBy("win_start", "node").agg(
             F.sum("n_frames").alias("n_frames"),
@@ -71,12 +86,46 @@ class IncrementalRollup:
             F.max("max_v0").alias("max_v0"),
         )
 
+    def last_merged_batch(self, store: DataFrame | None) -> int | None:
+        """Highest batch_id already folded into ``store`` (None if empty).
+
+        The id rides IN the parquet data (constant column), so it commits
+        atomically with the merge itself — a sidecar file could desync."""
+        if store is None or "merged_batch_id" not in store.columns:
+            return None
+        row = store.agg(F.max("merged_batch_id")).first()
+        return None if row is None else row[0]
+
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — idempotent under at-least-once replay.
+
+        Structured Streaming re-runs a micro-batch whose checkpoint commit
+        didn't land; merging its partials twice would double-count.  Each
+        store snapshot carries the batch_id it merged through, so a replay
+        of an already-merged batch only repairs the store location and
+        returns.  At 100 TB this batch_id becomes the MERGE INTO idempotency
+        key on a Delta/Iceberg rollup table."""
         spark = df.sparkSession
+        final_committed = os.path.exists(os.path.join(self.store_dir, "_SUCCESS"))
+        existing = self.read_store(spark)
+        last = self.last_merged_batch(existing)
+        if last is not None and batch_id <= last:
+            if not final_committed and existing is not None:
+                # Replayed after the .tmp write but before the final
+                # overwrite committed: promote the recovered copy.
+                existing.write.mode("overwrite").parquet(self.store_dir)
+            return
+        if not final_committed and existing is not None:
+            # Recovered from .tmp: commit it to the main store first, so the
+            # merge below never reads the directory it is about to rewrite.
+            existing.write.mode("overwrite").parquet(self.store_dir)
+            existing = spark.read.parquet(self.store_dir)
         partial = self.aggregate_batch(df)
-        merged = self.merge(self.read_store(spark), partial)
-        # Rewrite-with-temp keeps the store readable on failure; a lakehouse
-        # MERGE INTO replaces this dance at scale.
+        merged = self.merge(existing, partial).withColumn(
+            "merged_batch_id", F.lit(batch_id).cast("long")
+        )
+        # Rewrite-with-temp keeps a committed copy readable at every instant;
+        # a lakehouse MERGE INTO replaces this dance at scale.
         tmp = self.store_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)

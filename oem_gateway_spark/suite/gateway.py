@@ -25,11 +25,16 @@ from oem_gateway_spark.suite.registry import query
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread synthesized frames across all cores before the CPU-bound
-    parse chain.  The testdata ships one small parquet file (= 1 input
-    split); a real 100 TB source arrives as thousands of splits / stream
-    partitions, so this round-robin shuffle stands in for source
-    parallelism — its cost (tiny rows) is dwarfed by the parse work."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    parse chain — but ONLY when the source underdelivers parallelism.
+    The testdata ships one small parquet file (1-3 input splits); a real
+    100 TB source arrives as thousands of splits / stream partitions, in
+    which case this is a no-op and the parse chain stays shuffle-free
+    (the honest at-scale plan).  Round-robin cost on tiny rows is dwarfed
+    by the parse work it unlocks locally."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def _serial_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +206,45 @@ def g_rfm2pi_parity_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.select(line.alias("line"))
     cls = FR.classify_rfm2pi_frames(lines)
     return cls.groupBy("reject_reason").agg(F.count("*").alias("n"))
+
+
+@query(
+    "g_rfm2pi_dead_letter",
+    oracle="""
+    SELECT l_orderkey*10 + l_linenumber AS line_id,
+           CASE WHEN l_linenumber % 3 = 0 THEN 'odd_parity'
+                ELSE 'byte_range' END AS reject_reason
+    FROM lineitem
+    WHERE l_linenumber % 3 = 0 OR l_linenumber % 5 = 0
+    """,
+)
+def g_rfm2pi_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 dead-letter ROWS (not just counts): every rejected RFM2Pi
+    frame routed to the dead-letter stream with its reason, via the
+    production vectorized path (dead_letter_fast) — the engine upgrade
+    over the reference's silent log-drop, checked row-for-row.
+
+    Ref: OemGatewayRFM2PiListener._process_frame (~l.150-170) discard
+    branches; byte_range is checked before parity, matching the oracle's
+    CASE order (%3 rows are odd_parity even when %5 also divides —
+    3-token frames never hit the byte test with an out-of-range value).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    node = (F.col("l_suppkey") % 32).cast("int").cast("string")
+    b1 = (F.col("l_partkey") % 256).cast("string")
+    b2 = (F.col("l_orderkey") % 256).cast("string")
+    line = (
+        F.when(ln % 3 == 0, F.concat_ws(" ", node, b1, b2, F.lit("7")))
+        .when(ln % 5 == 0, F.concat_ws(" ", node, b1, F.lit("999")))
+        .otherwise(F.concat_ws(" ", node, b1, b2))
+    )
+    lines = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        line.alias("line"),
+    )
+    dead = FP.dead_letter_fast(_fan_out(lines), rfm2pi=True)
+    return dead.select("line_id", "reject_reason")
 
 
 @query(

@@ -114,12 +114,11 @@ def _minhash_oracle(n_hashes: int = 8) -> str:
 
 @query("d_minhash_signature", oracle=_minhash_oracle())
 def d_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 md5-derived components over 3-word shingles).
-    Per-row map work: shingling + hashing stays in whole-stage codegen."""
+    """MinHash signatures (8 md5-derived components over 3-word shingles):
+    shingle explode + 8 min-aggregates — flat-column md5 in whole-stage
+    codegen, partial agg collapses each doc before the one id shuffle."""
     corpus = _corpus(spark, sf_dir)
-    return D.minhash_signature(corpus).select(
-        "doc_id", *[f"mh_{s}" for s in range(8)]
-    )
+    return D.minhash_components(corpus)
 
 
 def _lsh_pairs_oracle(n_hashes: int = 8, n_bands: int = 4, min_equal: int = 6) -> str:

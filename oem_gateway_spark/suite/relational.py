@@ -354,40 +354,44 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (operator Spark lacks natively): for each purchase, the
-    latest click at-or-before it per user.  Implemented as equi-join +
-    window top-1 — shuffles once on user_id, then a partition-local sort;
-    at 100 TB the window partitions by (user, time-bucket) to bound state.
-    DuckDB oracle uses its native ASOF LEFT JOIN.
+    latest click at-or-before it per user.  LINEAR plan: union-tag both
+    streams, one shuffle on user_id, one partition-local sort, then a
+    last-non-null carry-forward window — never materializes the
+    (purchase x earlier-click) pair set, so a power user with K clicks and
+    M purchases costs K+M rows, not K*M (the r1 plan's blowup).  At 100 TB
+    the window partitions by (user, time-bucket) with a per-bucket
+    last-click pre-aggregate carried into the next bucket to bound sort
+    state.  DuckDB oracle uses its native ASOF LEFT JOIN.
 
-    Ties: events carry distinct µs timestamps per user (verified), so
-    top-1 by ts is deterministic; event_id desc breaks hypothetical ties
-    to match ASOF's single-row contract.
+    Ties: at equal ts, clicks order before purchases (ASOF's ``<=`` bound
+    includes the same-instant click); among equal-ts clicks the max
+    event_id wins, matching the r1 top-1 tie-break.
     """
     ev = _t(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("is_click"), F.col("event_id"))
+    click_ts = F.when(F.col("is_click"), F.col("ts"))
+    carried = tagged.select(
+        "*",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return carried.filter(~F.col("is_click")).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.col("ts").alias("p_ts"),
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("last_click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    )
-    joined = p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts), "left")
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.desc_nulls_last("c_ts"), F.desc_nulls_last("last_click_id")
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "purchase_id",
-            "user_id",
-            F.unix_millis("p_ts").alias("purchase_ms"),
-            "last_click_id",
-            F.unix_millis("c_ts").alias("click_ms"),
-        )
+        F.unix_millis("ts").alias("purchase_ms"),
+        "last_click_id",
+        F.unix_millis("last_click_ts").alias("click_ms"),
     )
 
 

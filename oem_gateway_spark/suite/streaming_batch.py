@@ -220,11 +220,25 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, mode="append")
 
 
-@query("stream_stream_join", oracle=None)  # interval-join row set depends on
-# watermark progress at replay end; recorded rows-only, asserted in pytest.
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join: purchases joined to the same
-    user's clicks within the following hour, both sides watermarked."""
+    user's clicks within the following hour, both sides watermarked.
+
+    Oracle-checkable (r2): the bounded replay is ONE micro-batch (single
+    source file, availableNow), and an INNER interval join emits each match
+    the batch it arrives — watermarks only evict state for batches that
+    never come — so the emitted set is exactly the batch interval join,
+    watermark-invariant.  Pinned by test_stream_stream_join_deterministic."""
     p = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     c = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     left = p.select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))

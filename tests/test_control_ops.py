@@ -252,3 +252,75 @@ def test_watermark_bounded_dedup_state(spark, scratch):
     # A once (b2/b3 dups suppressed by live state; b4 dup dropped late);
     # D never appears (late input dropped before touching state).
     assert counts == {"A": 1, "B": 1, "C": 1}, counts
+
+
+def _rollup_batch(spark, rows):
+    """Rows of (node, v0) as a parsed-frame batch for IncrementalRollup."""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(n, [float(v)]) for n, v in rows], "node INT, values ARRAY<DOUBLE>"
+    ).withColumn("ingest_ts", F.lit("2024-01-01 00:10:00").cast("timestamp"))
+
+
+def test_rollup_replay_is_idempotent(spark, scratch):
+    """at-least-once replay: re-running an already-merged micro-batch
+    (foreachBatch re-invocation after a missed checkpoint commit) must not
+    double-count — merged_batch_id rides in the store and gates the merge."""
+    from oem_gateway_spark.streaming.rollup import IncrementalRollup
+
+    store = os.path.join(scratch, "rollup")
+    ru = IncrementalRollup(store)
+    b0 = _rollup_batch(spark, [(10, 5), (10, 7), (11, 1)])
+    b1 = _rollup_batch(spark, [(10, 3), (11, 9)])
+    ru.process_batch(b0, 0)
+    ru.process_batch(b1, 1)
+    ru.process_batch(b1, 1)  # replay: must be a no-op
+    ru.process_batch(b0, 0)  # stale replay: must be a no-op
+    rows = {
+        r["node"]: (r["n_frames"], r["sum_v0"], r["min_v0"], r["max_v0"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows == {10: (3, 15.0, 3.0, 7.0), 11: (2, 10.0, 1.0, 9.0)}
+
+
+def test_rollup_recovers_from_tmp_after_torn_final_write(spark, scratch):
+    """Crash simulation: the final-store overwrite was interrupted (its
+    _SUCCESS marker is gone) but the .tmp copy is committed.  read_store
+    must serve the .tmp snapshot — NOT silently reset history — and the
+    next batch must merge on top of it and re-commit the main store."""
+    from oem_gateway_spark.streaming.rollup import IncrementalRollup
+
+    store = os.path.join(scratch, "rollup")
+    ru = IncrementalRollup(store)
+    ru.process_batch(_rollup_batch(spark, [(10, 5), (11, 1)]), 0)
+    # tear the final write: drop the commit marker (tmp copy stays whole)
+    os.remove(os.path.join(store, "_SUCCESS"))
+    recovered = ru.read_store(spark)
+    assert recovered is not None
+    assert store + ".tmp/" in recovered.inputFiles()[0]
+    ru.process_batch(_rollup_batch(spark, [(10, 3)]), 1)
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+    rows = {
+        r["node"]: (r["n_frames"], r["sum_v0"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows == {10: (2, 8.0), 11: (1, 1.0)}
+
+
+def test_rollup_replay_after_torn_final_write_repairs_store(spark, scratch):
+    """Replay of the SAME batch after a torn final overwrite: the merge is
+    skipped (already in .tmp) and the main store is re-committed from it."""
+    from oem_gateway_spark.streaming.rollup import IncrementalRollup
+
+    store = os.path.join(scratch, "rollup")
+    ru = IncrementalRollup(store)
+    b0 = _rollup_batch(spark, [(10, 5), (11, 1)])
+    ru.process_batch(b0, 0)
+    os.remove(os.path.join(store, "_SUCCESS"))
+    ru.process_batch(b0, 0)  # replay: repair only, no double merge
+    rows = {
+        r["node"]: (r["n_frames"], r["sum_v0"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows == {10: (1, 5.0), 11: (1, 1.0)}

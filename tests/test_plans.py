@@ -110,3 +110,27 @@ def test_bucketed_join_avoids_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_asof_join_linear_plan(spark):
+    """The as-of operator must never materialize the per-user
+    (purchase x earlier-click) pair set (r1's quadratic hot-user plan):
+    no join node at all — one user_id shuffle feeding a carry-forward
+    window over the union-tagged stream."""
+    df = REGISTRY["q_asof_join"].fn(spark, SF)
+    text = explain_str(df)
+    assert "Join" not in text, text
+    assert "Window" in text, text
+    assert num_exchanges(df) == 1, text
+
+
+def test_fan_out_noop_on_parallel_input(spark):
+    """_fan_out must not add a shuffle when the source already delivers
+    enough splits (the real-scale case: thousands of parquet splits)."""
+    from oem_gateway_spark.suite import gateway as GW
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par)
+    assert GW._fan_out(wide) is wide
+    narrow = spark.range(1000).coalesce(1)
+    assert GW._fan_out(narrow).rdd.getNumPartitions() == par

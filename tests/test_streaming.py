@@ -290,3 +290,66 @@ def test_parquet_sink_partitioned(spark, scratch):
     # physically partitioned by node
     parts = {d for d in os.listdir(out) if d.startswith("node_part=")}
     assert parts == {"node_part=10", "node_part=11", "node_part=12"}
+
+
+def test_stream_stream_join_deterministic(spark):
+    """The bounded interval-join replay must be watermark-invariant: two
+    full replays produce the identical row set (the batch interval join) —
+    the property that earns stream_stream_join its SQL oracle."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    fn = REGISTRY["stream_stream_join"].fn
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, fn(spark, sf).collect()))
+    b = sorted(map(tuple, fn(spark, sf).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=0.01: each approximate distinct count stays within 5x
+    the configured rsd of the exact count (loose bound, deterministic)."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_supps"])
+        for r in REGISTRY["q_approx_distinct"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["n_parts"], r["n_supps"])
+        for r in REGISTRY["q_distinct_agg"].fn(spark, sf).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, (ap, asu) in approx.items():
+        ep, es = exact[flag]
+        assert abs(ap - ep) <= 0.05 * ep, (flag, ap, ep)
+        assert abs(asu - es) <= 0.05 * es, (flag, asu, es)
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile(accuracy=10000): estimates fall within the value
+    range spanned by the exact percentile +/- 1% of rank neighbors."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.catalog import load_table
+    from oem_gateway_spark.suite import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["m_lo"], r["m_hi"], r["p_lo"], r["p_hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.49).alias("m_lo"),
+            F.percentile("l_extendedprice", 0.51).alias("m_hi"),
+            F.percentile("l_extendedprice", 0.98).alias("p_lo"),
+            F.percentile("l_extendedprice", 1.0).alias("p_hi"),
+        )
+        .collect()
+    }
+    rows = REGISTRY["u_approx_percentile"].fn(spark, sf).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        m_lo, m_hi, p_lo, p_hi = exact[r["l_returnflag"]]
+        assert m_lo <= r["approx_median"] <= m_hi, (r, m_lo, m_hi)
+        assert p_lo <= r["approx_p99"] <= p_hi, (r, p_lo, p_hi)
