@@ -85,39 +85,82 @@ def char_ngrams_sql(expr: str, n: int = 3) -> str:
     )
 
 
-def simhash16(word_arr: Column) -> Column:
-    """16-bit SimHash over word tokens: bit b set iff the sum over tokens of
-    (+1 if bit b of hash32(token) set else -1) is positive.  Pure built-in
-    expression; identical math in :func:`simhash16_sql`."""
-    return simhash16_from_hashes(F.transform(word_arr, lambda w: hash32(w, 7)))
+# 64-bit SimHash: bits 0..31 come from hash32(token, SEED_LO), bits 32..63
+# from hash32(token, SEED_HI).  The signature is carried as 4 x 16-bit band
+# columns sh_b0..sh_b3 (band j = bits [16j, 16j+15]) — bands double as the
+# LSH bucket keys for hamming<=3 candidate generation, and 16-bit pieces
+# never overflow a signed int in either engine.
+SIMHASH_SEED_LO = 7
+SIMHASH_SEED_HI = 8
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
-def simhash16_from_hashes(tok_hashes: Column) -> Column:
-    """SimHash bit logic over precomputed token hashes (materialize the
-    hash array as a column first to avoid 16x md5 recomputation)."""
+def simhash64_bit_sum_terms(lo: Column, hi: Column) -> list[Column]:
+    """64 per-token +/-1 contributions for the SimHash majority vote.
 
-    def bit_term(b: int):
-        def fold(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fold
-
-    out = F.lit(0)
-    for b in range(16):
-        bit_sum = F.aggregate(tok_hashes, F.lit(0), bit_term(b))
-        out = out + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(0)
-    return out.cast("int")
-
-
-def simhash16_sql(words_expr: str) -> str:
-    h = hash32_sql("w", 7).replace("(w)", "w")
+    Term b is +1 if bit b of the token's 64-bit hash is set, else -1; a NULL
+    token hash (explode_outer row for an empty document) contributes 0 so
+    empty docs keep an all-zero signature.  Summed per doc by the caller's
+    groupBy — flat-column codegen, no interpreted array folds."""
     terms = []
-    for b in range(16):
-        bit_sum = (
-            f"list_aggregate(list_transform({words_expr}, "
-            f"w -> CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END), 'sum')"
+    for b in range(SIMHASH_BITS):
+        h = lo if b < 32 else hi
+        terms.append(
+            F.when(h.isNull(), 0)
+            .when(F.shiftright(h, b % 32).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
         )
-        terms.append(f"CASE WHEN {bit_sum} > 0 THEN {1 << b} ELSE 0 END")
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return terms
+
+
+def simhash64_bands_from_bit_sums(sums: list[Column]) -> list[Column]:
+    """4 x 16-bit band columns from the 64 per-bit majority sums (bit set
+    iff its sum is strictly positive)."""
+    bands = []
+    for j in range(SIMHASH_BANDS):
+        out = F.lit(0)
+        for r in range(SIMHASH_BAND_BITS):
+            out = out + F.when(
+                sums[SIMHASH_BAND_BITS * j + r] > 0, F.lit(1 << r)
+            ).otherwise(0)
+        bands.append(out.cast("int"))
+    return bands
+
+
+def simhash64_sql_ctes() -> str:
+    """DuckDB CTE chain (toks -> hashed -> sums -> sig0 -> sig) computing
+    (doc_id, sh_b0..sh_b3, simhash_hex) from a CTE named ``corpus`` — the
+    exact twin of ``operators.dedup.simhash64_signatures``.  Token hashes
+    materialize as two lists so the 64 bit folds reuse one md5 pass per
+    seed; COALESCE keeps empty-token docs at an all-zero signature."""
+    lo = hash32_sql("x", SIMHASH_SEED_LO)
+    hi = hash32_sql("x", SIMHASH_SEED_HI)
+    sum_cols = []
+    for b in range(SIMHASH_BITS):
+        src = "hlo" if b < 32 else "hhi"
+        sum_cols.append(
+            f"COALESCE(list_aggregate(list_transform({src}, h -> "
+            f"CASE WHEN (h >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END), 'sum'), 0)"
+            f" AS s{b}"
+        )
+    band_cols = []
+    for j in range(SIMHASH_BANDS):
+        expr = " + ".join(
+            f"CASE WHEN s{SIMHASH_BAND_BITS * j + r} > 0"
+            f" THEN {1 << r} ELSE 0 END"
+            for r in range(SIMHASH_BAND_BITS)
+        )
+        band_cols.append(f"CAST({expr} AS INT) AS sh_b{j}")
+    return f"""
+    toks AS (SELECT doc_id, {words_sql('text')} AS w FROM corpus),
+    hashed AS (SELECT doc_id,
+                      list_transform(w, x -> {lo}) AS hlo,
+                      list_transform(w, x -> {hi}) AS hhi FROM toks),
+    sums AS (SELECT doc_id, {', '.join(sum_cols)} FROM hashed),
+    sig0 AS (SELECT doc_id, {', '.join(band_cols)} FROM sums),
+    sig AS (SELECT doc_id, sh_b0, sh_b1, sh_b2, sh_b3,
+                   printf('%04x%04x%04x%04x', sh_b3, sh_b2, sh_b1, sh_b0)
+                     AS simhash_hex
+            FROM sig0)"""

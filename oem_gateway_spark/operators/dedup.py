@@ -12,8 +12,9 @@ Four families (BASELINE.json north star), each a DataFrame composition:
                  splitting; at extreme skew, cap bucket size before the
                  self-join (drop degenerate mega-buckets — they are
                  near-certain duplicates anyway and can be routed whole).
-  simhash      - 16-bit signature; equal-signature buckets give hamming-0
-                 candidates; hamming<=k via banded signature pieces.
+  simhash      - 64-bit signature carried as 4 x 16-bit bands; banded LSH
+                 (any equal band) gives exact-recall candidates for
+                 hamming<=3, verified by popcount of the banded XOR.
   ngram-jaccard- exact character-shingle jaccard for candidate VERIFICATION
                  (run after LSH candidate generation, never standalone at
                  scale).
@@ -212,34 +213,119 @@ def minhash_lsh_pairs(
     return _own_cache(result, sig)
 
 
-def simhash_signatures(
+def simhash64_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash16) per document.
+    """(id, sh_b0..sh_b3, simhash_hex): 64-bit SimHash as 4 x 16-bit bands.
 
-    Token hashes materialize as a column first so the 16 per-bit folds
-    reuse one md5 pass instead of recomputing it per bit.
+    Physical shape mirrors :func:`minhash_components`: token explode -> 64
+    conditional-sum aggregates over FLAT hash columns — whole-stage codegen,
+    with partial aggregation collapsing each doc per partition before the
+    single id shuffle, so at 100 TB the exchange carries docs, not tokens.
+    (The alternative — 64 interpreted ``F.aggregate`` array folds — runs
+    outside codegen and re-walks the token array per bit.)
+    ``explode_outer`` keeps empty documents: their NULL token hash
+    contributes 0 to every bit sum, giving the all-zero signature.
     """
-    hashed = df.select(
+    toks = df.select(
+        F.col(id_col), F.explode_outer(H.words(F.col(text_col))).alias("_w")
+    )
+    hashed = toks.select(
         F.col(id_col),
-        F.transform(H.words(F.col(text_col)), lambda w: H.hash32(w, 7)).alias("_th"),
+        H.hash32(F.col("_w"), H.SIMHASH_SEED_LO).alias("_lo"),
+        H.hash32(F.col("_w"), H.SIMHASH_SEED_HI).alias("_hi"),
     )
-    return hashed.select(
-        F.col(id_col), H.simhash16_from_hashes(F.col("_th")).alias("simhash")
+    terms = H.simhash64_bit_sum_terms(F.col("_lo"), F.col("_hi"))
+    agg = hashed.groupBy(id_col).agg(
+        *[F.sum(t).alias(f"_s{b}") for b, t in enumerate(terms)]
+    )
+    bands = H.simhash64_bands_from_bit_sums(
+        [F.col(f"_s{b}") for b in range(H.SIMHASH_BITS)]
+    )
+    return agg.select(
+        F.col(id_col), *[band.alias(f"sh_b{j}") for j, band in enumerate(bands)]
+    ).withColumn(
+        "simhash_hex",
+        F.format_string(
+            "%04x%04x%04x%04x",
+            F.col("sh_b3"),
+            F.col("sh_b2"),
+            F.col("sh_b1"),
+            F.col("sh_b0"),
+        ),
     )
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 0,
 ) -> DataFrame:
-    """Hamming-0 SimHash candidate pairs (equal 16-bit signatures)."""
-    sig = simhash_signatures(df, id_col, text_col).persist()
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash"))
-    result = (
-        a.join(b, on="simhash")
+    """(id_a, id_b, hamming) SimHash near-dup pairs via banded LSH.
+
+    Candidate generation is LINEAR: each doc lands in 4 (band, value)
+    buckets; docs sharing ANY band become candidates, verified by the exact
+    hamming distance (popcount of the banded XOR).  By pigeonhole, a pair
+    within hamming <= 3 of 64 bits must agree on >= 1 of the 4 16-bit bands,
+    so recall is EXACT for ``max_hamming`` <= 3 — no equal-full-signature
+    self-join anywhere, and the exchange keys on (band, value) so skewed
+    boilerplate buckets are per-band and AQE-splittable.
+    """
+    if not 0 <= max_hamming <= H.SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"banded SimHash is exact only for max_hamming <= "
+            f"{H.SIMHASH_BANDS - 1}, got {max_hamming}"
+        )
+    n_bands = H.SIMHASH_BANDS
+    sig = simhash64_signatures(df, id_col, text_col).persist()
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), F.col(f"sh_b{j}").alias("val"))
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(band_arr).alias("bb"),
+        *[F.col(f"sh_b{j}") for j in range(n_bands)],
+    ).select(
+        F.col(id_col),
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
+        *[F.col(f"sh_b{j}") for j in range(n_bands)],
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"),
+        "band",
+        "val",
+        *[F.col(f"sh_b{j}").alias(f"a{j}") for j in range(n_bands)],
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"),
+        "band",
+        "val",
+        *[F.col(f"sh_b{j}").alias(f"b{j}") for j in range(n_bands)],
+    )
+    cand = (
+        left.join(right, on=["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "simhash")
+        .select(
+            "id_a",
+            "id_b",
+            *[F.col(f"a{j}") for j in range(n_bands)],
+            *[F.col(f"b{j}") for j in range(n_bands)],
+        )
+        .distinct()
+    )
+    hamming: Column = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        for j in range(n_bands)
+    )
+    result = (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
     return _own_cache(result, sig)
 

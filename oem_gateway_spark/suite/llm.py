@@ -162,34 +162,50 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir))
 
 
+_SIMHASH_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(a.sh_b{j}, b.sh_b{j}))" for j in range(H.SIMHASH_BANDS)
+)
+
+
+def _simhash_pairs_oracle(max_hamming: int) -> str:
+    """All-pairs hamming filter — the oracle needn't scale, only agree;
+    banded candidate generation is exact for hamming<=3, so the filtered
+    cross join yields the identical pair set."""
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),{H.simhash64_sql_ctes()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({_SIMHASH_HAMMING_SQL} AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {_SIMHASH_HAMMING_SQL} <= {max_hamming}
+    """
+
+
 @query(
     "d_simhash",
     oracle=f"""
-    WITH corpus AS ({CORPUS_SQL}),
-    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus)
-    SELECT doc_id, {H.simhash16_sql('w')} AS simhash FROM toks
+    WITH corpus AS ({CORPUS_SQL}),{H.simhash64_sql_ctes()}
+    SELECT doc_id, sh_b0, sh_b1, sh_b2, sh_b3, simhash_hex FROM sig
     """,
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures (bitwise majority of token hashes)."""
-    return D.simhash_signatures(_corpus(spark, sf_dir))
+    """64-bit SimHash signatures (bitwise majority of token hashes),
+    carried as 4 x 16-bit band columns + hex rendering."""
+    return D.simhash64_signatures(_corpus(spark, sf_dir))
 
 
-@query(
-    "d_simhash_pairs",
-    oracle=f"""
-    WITH corpus AS ({CORPUS_SQL}),
-    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus),
-    sig AS (SELECT doc_id, {H.simhash16_sql('w')} AS simhash FROM toks)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
-    FROM sig a JOIN sig b USING (simhash)
-    WHERE a.doc_id < b.doc_id
-    """,
-)
+@query("d_simhash_pairs", oracle=_simhash_pairs_oracle(0))
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-0 SimHash candidates via equal-signature self-join (banded
-    signature pieces extend this to hamming<=k at scale)."""
-    return D.simhash_pairs(_corpus(spark, sf_dir))
+    """Hamming-0 SimHash duplicate pairs via banded LSH — candidates from
+    any equal 16-bit band, verified by exact popcount; no full-signature
+    self-join."""
+    return D.simhash_hamming_pairs(_corpus(spark, sf_dir), max_hamming=0)
+
+
+@query("d_simhash_hamming_k", oracle=_simhash_pairs_oracle(3))
+def d_simhash_hamming_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 SimHash near-dup pairs: banded LSH candidate generation
+    is EXACT at k<=3 by pigeonhole (4 bands, 3 differing bits)."""
+    return D.simhash_hamming_pairs(_corpus(spark, sf_dir), max_hamming=3)
 
 
 @query(

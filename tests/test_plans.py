@@ -134,3 +134,22 @@ def test_fan_out_noop_on_parallel_input(spark):
     assert GW._fan_out(wide) is wide
     narrow = spark.range(1000).coalesce(1)
     assert GW._fan_out(narrow).rdd.getNumPartitions() == par
+
+
+def test_simhash_pairs_banded_plan(spark):
+    """SimHash pairs must generate candidates via the banded (band, val)
+    join — never an equal-full-signature self-join — and the signature
+    must come from flat-column codegen sums, not interpreted array
+    aggregate folds (the 64x re-walk anti-pattern)."""
+    df = REGISTRY["d_simhash_pairs"].fn(spark, SF)
+    try:
+        text = explain_str(df)
+        # banded LSH: join keys are (band, val), not the full signature
+        assert "band" in text and "val" in text, text
+        # majority vote runs as HashAggregate sums, not array HOF folds
+        assert "aggregate(lambdafunction" not in text.lower(), text
+        assert "HashAggregate" in text, text
+    finally:
+        from oem_gateway_spark.operators.dedup import release_caches
+
+        release_caches(df)
