@@ -37,8 +37,11 @@ def u_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the documented SLOW path — used only on a
     dim table here; prefer pandas_udf on anything fact-sized)."""
 
+    # No Python type hints on purpose: pyspark tries (and fails) to infer
+    # an eval type from them, emitting a UserWarning; the decorator's
+    # returnType is the whole contract for a row UDF.
     @udf(DoubleType())
-    def soft_cap(price: float) -> float:
+    def soft_cap(price):
         capped = 1500 + (price - 1500) * 0.5 if price > 1500 else price
         return round(capped * 1.1, 4)
 
