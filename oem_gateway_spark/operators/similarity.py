@@ -139,6 +139,27 @@ def ivf_cell(vec: Column) -> Column:
     return _cell(vec)
 
 
+def ivf_cells(vec: Column, nprobe: int) -> Column:
+    """The ``nprobe`` nearest IVF cells per vector (array<int>, ordered by
+    distance asc then cell id asc — numpy's stable argsort matches the
+    oracle's ``ORDER BY score, cell``).  Probing >1 cell recovers the
+    neighbors a hard cell boundary hides from single-probe IVF: recall
+    rises with nprobe while cost stays |corpus| * nprobe / n_cells."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(CENTROIDS, dtype="float64")  # (k, dim)
+    c_sq = np.einsum("ij,ij->i", cents, cents)  # (k,)
+
+    @pandas_udf("array<int>")
+    def _cells(xs: pd.Series) -> pd.Series:
+        xm = np.stack(xs.to_numpy()).astype("float64")  # (n, dim)
+        scores = c_sq[None, :] - 2.0 * (xm @ cents.T)  # (n, k)
+        order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return _cells(vec)
+
+
 def ivf_cell_sql(vec_expr: str) -> str:
     """DuckDB twin of ivf_cell: explicit argmin over the centroid scores
     (sequential-fold dots; ties impossible with random data)."""
@@ -166,16 +187,26 @@ def ivf_ann_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: compare only same-cell pairs (nearest-centroid
+    """IVF ANN top-k: compare only probed-cell pairs (nearest-centroid
     partitioning).  Same pruning frame as the LSH path with k-means cells;
     at 100 TB the corpus is written cell-partitioned and a query probes
-    its cell (+ nprobe neighbors for recall)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        ivf_cell(F.col(vec_col)).alias("cell"),
-    )
+    its ``nprobe`` nearest cells — each probe is a pruned partition scan,
+    so cost scales linearly in nprobe while recall approaches exact.
+    Corpus vectors live in exactly one cell, so multi-probe never
+    duplicates a (query, neighbor) pair."""
+    if nprobe == 1:
+        q_cell = ivf_cell(F.col(vec_col)).alias("cell")
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), q_cell
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(ivf_cells(F.col(vec_col), nprobe)).alias("cell"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -499,6 +499,55 @@ def s_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, queries, k=3)
 
 
+def _ivf_nprobe_oracle(k: int = 3, stride: int = 100, nprobe: int = 2) -> str:
+    """Twin of the multi-probe path: rank ALL cells per query by the same
+    score numpy argsorts (||c||^2 - 2 v.c), keep the nprobe best."""
+    cell = S.ivf_cell_sql("embedding")
+    cos = V.cosine_sql_duckdb("c.embedding", "q.embedding")
+    score_list = ", ".join(
+        f"({sum(v * v for v in S.CENTROIDS[c])!r} - 2.0 * "
+        f"({V.dot_sql_duckdb('embedding', S.centroid_sql(c))}))"
+        for c in range(S.N_CENTROIDS)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+    q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {stride} = 0),
+    qscore AS (
+      SELECT vec_id, embedding,
+             unnest(range({S.N_CENTROIDS})) AS cell,
+             unnest([{score_list}]) AS score
+      FROM q0),
+    probed AS (
+      SELECT vec_id, embedding, cell
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score, cell) AS cell_rank
+            FROM qscore)
+      WHERE cell_rank <= {nprobe}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+             {cos} AS cos_raw
+      FROM b c JOIN probed q USING (cell)
+      WHERE c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cell, round(cos_raw, 6) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_raw DESC, neighbor_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@query("s_ivf_nprobe", oracle=_ivf_nprobe_oracle())
+def s_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 with nprobe=2: each query probes its two nearest
+    cells, recovering neighbors a hard cell boundary hides from
+    single-probe IVF — recall > s_ivf_ann_topk at 2x the pruned-scan
+    cost (still |corpus| * nprobe / n_cells, never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.ivf_ann_topk(emb, queries, k=3, nprobe=2)
+
+
 _DATA_PREP_ORACLE = f"""
     WITH corpus AS ({CORPUS_SQL}),
     toks AS (
@@ -526,13 +575,20 @@ def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep (the north-star composition): corpus
     -> quality gates (min words, token budget, stopword evidence) -> exact
     dedup keep-first -> surviving docs.  Every stage is an operator tested
-    elsewhere; this query proves they compose into one Catalyst plan
-    (filters before the hash shuffle, one dedup exchange)."""
+    elsewhere; this query proves they compose into one Catalyst plan.
+
+    Dedup keep-first runs as a row_number window over the fingerprint, not
+    the groupBy+semi-join twin: the semi-join shape plans the scoring
+    subtree TWICE (both join inputs recompute the regex/md5 gates — 2x the
+    scan and CPU at any scale), while the window shape scores once, filters
+    before the single fp exchange, and keeps the min-doc_id row per group.
+    """
+    from pyspark.sql.window import Window
+
     corpus = _corpus(spark, sf_dir)
     w = H.words(F.col("text"))
     scored = corpus.select(
         "doc_id",
-        "text",
         F.size(w).alias("n_words"),
         T.bpe_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
         T.stopword_hits(w, "en").cast("long").alias("sw_hits"),
@@ -543,9 +599,11 @@ def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bpe_tokens") <= 2000)
         & (F.col("sw_hits") >= 1)
     )
-    keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    return quality.join(keep, on=["fp", "doc_id"], how="left_semi").select(
-        "doc_id", "n_words", "bpe_tokens"
+    keep_first = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        quality.withColumn("_rn", F.row_number().over(keep_first))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_words", "bpe_tokens")
     )
 
 
