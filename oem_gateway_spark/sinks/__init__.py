@@ -4,4 +4,5 @@ writers with engine-managed at-least-once semantics."""
 from oem_gateway_spark.sinks.emoncms import (  # noqa: F401
     EmoncmsSink,
     encode_bulk,
+    encode_bulk_df,
 )

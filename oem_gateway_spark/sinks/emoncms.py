@@ -28,7 +28,8 @@ import time
 from collections.abc import Callable
 from urllib.parse import urlencode
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 log = logging.getLogger("oem_gateway_spark.sinks.emoncms")
 
@@ -66,6 +67,54 @@ def encode_bulk(rows: list[tuple[float, int, list[float]]], send_time: float) ->
         ]
         out.append([dt, int(node)] + vals)
     return json.dumps(out, separators=(",", ":"))
+
+
+def _json_num(v: Column) -> Column:
+    """JSON rendering of one reading: whole finite values print as ints
+    (NaN/inf fall through to Spark's double rendering, matching
+    json.dumps's non-strict NaN output)."""
+    return F.when(
+        v.cast("long").cast("double") == v, v.cast("long").cast("string")
+    ).otherwise(v.cast("string"))
+
+
+def encode_bulk_df(df: DataFrame, send_time: float) -> str:
+    """B3 encode, executor-side: the per-row work (Δt offsets, whole-value
+    int collapse, JSON assembly) runs as JVM column expressions; only the
+    final payload STRING crosses to the driver — one bounded string per
+    micro-batch, because B4 is by contract a single bulk POST with one
+    'ok' ack.  (The row-level twin :func:`encode_bulk` stays as the
+    reference encoder for tests/suite oracles.)
+
+    Rows are ordered by (ingest_ts, node) so the payload is deterministic
+    regardless of partitioning; Δt uses half-even rounding like Python's
+    ``int(round(...))``.
+    """
+    row = F.concat(
+        F.lit("["),
+        F.bround(F.col("ingest_ts").cast("double") - F.lit(float(send_time)), 0)
+        .cast("long")
+        .cast("string"),
+        F.lit(","),
+        F.col("node").cast("long").cast("string"),
+        F.when(
+            F.size("values") > 0,
+            F.concat(
+                F.lit(","), F.concat_ws(",", F.transform(F.col("values"), _json_num))
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    enc = df.select(
+        F.struct(F.col("ingest_ts"), F.col("node"), row.alias("enc")).alias("s")
+    )
+    agg = enc.agg(
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["enc"]),
+        ).alias("rows")
+    )
+    return "[" + agg.first()["rows"] + "]"
 
 
 class EmoncmsSink:
@@ -116,14 +165,11 @@ class EmoncmsSink:
         """
         if not self.active:  # P8 gate
             return
-        rows = [
-            (r["ingest_ts"].timestamp(), r["node"], list(r["values"]))
-            for r in df.select("ingest_ts", "node", "values").collect()
-        ]
-        if not rows:
-            return
         send_time = self.clock()
-        url = self.build_url(encode_bulk(rows, send_time), send_time)
+        payload = encode_bulk_df(df, send_time)
+        if payload == "[]":
+            return
+        url = self.build_url(payload, send_time)
         last_err: Exception | None = None
         for attempt in range(self.max_attempts):
             try:
