@@ -23,12 +23,101 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class RollupOwnershipError(RuntimeError):
+    """A second live maintainer tried to drive the same rollup store."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 class IncrementalRollup:
-    """foreachBatch maintainer of a (node, win_start) rollup table."""
+    """foreachBatch maintainer of a (node, win_start) rollup table.
+
+    SINGLE-WRITER per store: the ``.tmp``-promote commit dance assumes one
+    maintainer owns the store — two interleaved writers could promote each
+    other's half-merged snapshots.  A lease file (``<store>.lock``, holding
+    pid + instance token) enforces this: the first ``process_batch``
+    acquires it, a second live maintainer raises
+    :class:`RollupOwnershipError`, and a lease whose holder process is dead
+    (crash) is stolen so restarts recover without manual cleanup.  At
+    100 TB the lakehouse MERGE INTO's transaction log replaces the lease.
+    """
 
     def __init__(self, store_dir: str, window: str = "1 hour"):
         self.store_dir = store_dir
         self.window = window
+        self._lease_held = False
+
+    # -- single-writer lease ------------------------------------------------
+
+    @property
+    def _lease_path(self) -> str:
+        return self.store_dir + ".lock"
+
+    def acquire_lease(self) -> None:
+        """Idempotent for the holder; raises for a concurrent live one."""
+        if self._lease_held:
+            return
+        parent = os.path.dirname(os.path.abspath(self.store_dir))
+        os.makedirs(parent, exist_ok=True)
+        token = f"{os.getpid()}:{id(self)}"
+        for _attempt in range(2):
+            try:
+                fd = os.open(self._lease_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                os.close(fd)
+                self._lease_held = True
+                return
+            except FileExistsError:
+                try:
+                    with open(self._lease_path) as f:
+                        held = f.read().strip()
+                except FileNotFoundError:
+                    continue  # holder released between check and read: retry
+                if held == token:
+                    self._lease_held = True  # our own lease (lost flag)
+                    return
+                try:
+                    holder_pid = int(held.split(":", 1)[0])
+                except ValueError:
+                    holder_pid = -1
+                if holder_pid > 0 and not _pid_alive(holder_pid):
+                    # Crashed holder: steal once and retry the create.
+                    try:
+                        os.remove(self._lease_path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise RollupOwnershipError(
+                    f"rollup store {self.store_dir!r} is owned by live "
+                    f"maintainer {held!r}; one writer per store "
+                    f"(release_lease() the other, or use a separate store)"
+                )
+        raise RollupOwnershipError(
+            f"could not acquire lease for rollup store {self.store_dir!r}"
+        )
+
+    def release_lease(self) -> None:
+        if not self._lease_held:
+            return
+        self._lease_held = False
+        try:
+            os.remove(self._lease_path)
+        except FileNotFoundError:
+            pass
+
+    def __del__(self) -> None:  # pragma: no cover - GC timing
+        try:
+            self.release_lease()
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
 
     # -- batch-side aggregation (also usable standalone for backfills)
     def aggregate_batch(self, df: DataFrame, ts_col: str = "ingest_ts") -> DataFrame:
@@ -105,6 +194,7 @@ class IncrementalRollup:
         of an already-merged batch only repairs the store location and
         returns.  At 100 TB this batch_id becomes the MERGE INTO idempotency
         key on a Delta/Iceberg rollup table."""
+        self.acquire_lease()
         spark = df.sparkSession
         final_committed = os.path.exists(os.path.join(self.store_dir, "_SUCCESS"))
         existing = self.read_store(spark)

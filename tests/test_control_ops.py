@@ -324,3 +324,44 @@ def test_rollup_replay_after_torn_final_write_repairs_store(spark, scratch):
         for r in spark.read.parquet(store).collect()
     }
     assert rows == {10: (1, 5.0), 11: (1, 1.0)}
+
+
+def test_rollup_rejects_second_live_maintainer(spark, scratch):
+    """Single-writer lease: a second live maintainer on the same store
+    must raise (the .tmp-promote dance is not safe to interleave); after
+    the holder releases, a new maintainer acquires cleanly; a lease left
+    by a DEAD process is stolen (crash-restart recovery)."""
+    import subprocess
+
+    from oem_gateway_spark.streaming.rollup import (
+        IncrementalRollup,
+        RollupOwnershipError,
+    )
+
+    store = os.path.join(scratch, "rollup")
+    ru1 = IncrementalRollup(store)
+    ru1.process_batch(_rollup_batch(spark, [(10, 5)]), 0)
+
+    ru2 = IncrementalRollup(store)
+    with pytest.raises(RollupOwnershipError):
+        ru2.process_batch(_rollup_batch(spark, [(10, 3)]), 1)
+
+    # graceful handover: release -> the next maintainer may write
+    ru1.release_lease()
+    ru2.process_batch(_rollup_batch(spark, [(10, 3)]), 1)
+    rows = {
+        r["node"]: (r["n_frames"], r["sum_v0"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert rows == {10: (2, 8.0)}
+
+    # crashed holder: its pid is dead, so the lease is stale and stolen
+    ru2.release_lease()
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(store + ".lock", "w") as f:
+        f.write(f"{p.pid}:0")
+    ru3 = IncrementalRollup(store)
+    ru3.process_batch(_rollup_batch(spark, [(11, 1)]), 2)
+    assert 11 in {r["node"] for r in spark.read.parquet(store).collect()}
+    ru3.release_lease()
