@@ -30,10 +30,13 @@ HEADLINE = [
     # LLM ops
     "d_exact_dedup_survivors",
     "d_minhash_lsh_pairs",
+    "d_simhash_pairs",
+    "d_simhash_hamming_k",
     "t_text_stats",
     "s_cosine_topk",
     "s_ann_lsh_topk",
     "s_ivf_ann_topk",
+    "s_ivf_nprobe",
     "pipeline_data_prep",
 ]
 

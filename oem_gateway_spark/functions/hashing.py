@@ -60,13 +60,35 @@ def shingles_sql(words_expr: str, k: int = 3) -> str:
       ELSE [array_to_string({words_expr}, ' ')] END"""
 
 
-def minhash(shingle_arr: Column, seed: int) -> Column:
-    """Min over shingles of hash32(shingle, seed) — one MinHash component."""
-    return F.array_min(F.transform(shingle_arr, lambda s: hash32(s, seed)))
+# MinHash components slice md5 digests: md5 yields 128 bits = four 32-bit
+# hash functions per digest, so 8 components cost TWO md5 calls per shingle
+# instead of eight (the digest dominates; distinct slices of a well-mixing
+# digest act as independent hash functions).  Component s lives in digest
+# s // 4 (prefix "{s//4}:") at hex offset 1 + 8*(s % 4).
+MINHASH_SLICES = 4
 
 
-def minhash_sql(shingles_expr: str, seed: int) -> str:
-    h = hash32_sql("x", seed).replace("(x)", "x")
+def minhash_digest(shingle: Column, s: int) -> Column:
+    """The md5 digest that component ``s`` slices from."""
+    return F.md5(F.concat(F.lit(f"{s // MINHASH_SLICES}:"), shingle))
+
+
+def minhash_component(shingle: Column, s: int) -> Column:
+    """32-bit MinHash component ``s`` of one shingle (as long)."""
+    return md5_slice32(minhash_digest(shingle, s), 1 + 8 * (s % MINHASH_SLICES))
+
+
+def minhash(shingle_arr: Column, s: int) -> Column:
+    """Min over shingles of component ``s`` — one MinHash signature slot."""
+    return F.array_min(F.transform(shingle_arr, lambda x: minhash_component(x, s)))
+
+
+def minhash_sql(shingles_expr: str, s: int) -> str:
+    start = 1 + 8 * (s % MINHASH_SLICES)
+    h = (
+        f"CAST('0x' || substr(md5('{s // MINHASH_SLICES}:' || x), {start}, 8)"
+        " AS BIGINT)"
+    )
     return f"list_aggregate(list_transform({shingles_expr}, x -> {h}), 'min')"
 
 
@@ -85,46 +107,52 @@ def char_ngrams_sql(expr: str, n: int = 3) -> str:
     )
 
 
-# 64-bit SimHash: bits 0..31 come from hash32(token, SEED_LO), bits 32..63
-# from hash32(token, SEED_HI).  The signature is carried as 4 x 16-bit band
-# columns sh_b0..sh_b3 (band j = bits [16j, 16j+15]) — bands double as the
-# LSH bucket keys for hamming<=3 candidate generation, and 16-bit pieces
-# never overflow a signed int in either engine.
-SIMHASH_SEED_LO = 7
-SIMHASH_SEED_HI = 8
+# 64-bit SimHash: ONE md5 per token supplies both halves — bits 0..31 from
+# hex chars 1-8, bits 32..63 from hex chars 9-16 (md5 has 128 bits; paying a
+# second digest for the high half would double the dominant hash cost).  The
+# signature is carried as 4 x 16-bit band columns sh_b0..sh_b3 (band j =
+# bits [16j, 16j+15]) — bands double as the LSH bucket keys for hamming<=3
+# candidate generation, and 16-bit pieces never overflow a signed int in
+# either engine.
+SIMHASH_SEED = 7
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
-def simhash64_bit_sum_terms(lo: Column, hi: Column) -> list[Column]:
-    """64 per-token +/-1 contributions for the SimHash majority vote.
-
-    Term b is +1 if bit b of the token's 64-bit hash is set, else -1; a NULL
-    token hash (explode_outer row for an empty document) contributes 0 so
-    empty docs keep an all-zero signature.  Summed per doc by the caller's
-    groupBy — flat-column codegen, no interpreted array folds."""
-    terms = []
-    for b in range(SIMHASH_BITS):
-        h = lo if b < 32 else hi
-        terms.append(
-            F.when(h.isNull(), 0)
-            .when(F.shiftright(h, b % 32).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        )
-    return terms
+def simhash64_token_md5(word: Column) -> Column:
+    """The one md5 digest per token both signature halves slice from."""
+    return F.md5(F.concat(F.lit(f"{SIMHASH_SEED}:"), word))
 
 
-def simhash64_bands_from_bit_sums(sums: list[Column]) -> list[Column]:
-    """4 x 16-bit band columns from the 64 per-bit majority sums (bit set
-    iff its sum is strictly positive)."""
+def md5_slice32(m: Column, start: int) -> Column:
+    """Unsigned 32-bit int (as long) from 8 hex chars of an md5 column."""
+    return F.conv(F.substring(m, start, 8), 16, 10).cast("long")
+
+
+def simhash64_bit_cols(lo: Column, hi: Column) -> list[Column]:
+    """64 raw bit extractions (0/1) of the per-token hash halves.
+
+    The majority vote ``sum(+/-1) > 0`` equals ``2*popcount > n_tokens``,
+    so summing raw bits (branch-free shift/AND arithmetic — measurably
+    faster in codegen than 64 CASE expressions) with one token count is
+    the whole aggregation.  SUM skips the NULL hash of an explode_outer
+    row, so empty documents aggregate to (NULL sums, n=0)."""
+    return [
+        F.shiftright(lo if b < 32 else hi, b % 32).bitwiseAND(F.lit(1))
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+def simhash64_bands_from_bit_sums(sums: list[Column], n: Column) -> list[Column]:
+    """4 x 16-bit band columns from the 64 per-bit popcount sums and the
+    token count (bit set iff a strict majority of tokens set it)."""
     bands = []
     for j in range(SIMHASH_BANDS):
         out = F.lit(0)
         for r in range(SIMHASH_BAND_BITS):
-            out = out + F.when(
-                sums[SIMHASH_BAND_BITS * j + r] > 0, F.lit(1 << r)
-            ).otherwise(0)
+            s = F.coalesce(sums[SIMHASH_BAND_BITS * j + r], F.lit(0))
+            out = out + F.when(s * 2 > n, F.lit(1 << r)).otherwise(0)
         bands.append(out.cast("int"))
     return bands
 
@@ -132,33 +160,35 @@ def simhash64_bands_from_bit_sums(sums: list[Column]) -> list[Column]:
 def simhash64_sql_ctes() -> str:
     """DuckDB CTE chain (toks -> hashed -> sums -> sig0 -> sig) computing
     (doc_id, sh_b0..sh_b3, simhash_hex) from a CTE named ``corpus`` — the
-    exact twin of ``operators.dedup.simhash64_signatures``.  Token hashes
-    materialize as two lists so the 64 bit folds reuse one md5 pass per
-    seed; COALESCE keeps empty-token docs at an all-zero signature."""
-    lo = hash32_sql("x", SIMHASH_SEED_LO)
-    hi = hash32_sql("x", SIMHASH_SEED_HI)
+    exact twin of ``operators.dedup.simhash64_signatures``.  One md5 list
+    materializes per doc; both 32-bit halves slice from it, and the 64 bit
+    folds reuse those integer lists; COALESCE keeps empty-token docs at an
+    all-zero signature."""
     sum_cols = []
     for b in range(SIMHASH_BITS):
         src = "hlo" if b < 32 else "hhi"
         sum_cols.append(
             f"COALESCE(list_aggregate(list_transform({src}, h -> "
-            f"CASE WHEN (h >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END), 'sum'), 0)"
-            f" AS s{b}"
+            f"(h >> {b % 32}) & 1), 'sum'), 0) AS s{b}"
         )
     band_cols = []
     for j in range(SIMHASH_BANDS):
         expr = " + ".join(
-            f"CASE WHEN s{SIMHASH_BAND_BITS * j + r} > 0"
+            f"CASE WHEN 2 * s{SIMHASH_BAND_BITS * j + r} > n"
             f" THEN {1 << r} ELSE 0 END"
             for r in range(SIMHASH_BAND_BITS)
         )
         band_cols.append(f"CAST({expr} AS INT) AS sh_b{j}")
     return f"""
     toks AS (SELECT doc_id, {words_sql('text')} AS w FROM corpus),
+    digests AS (SELECT doc_id,
+                       list_transform(w, x -> md5('{SIMHASH_SEED}:' || x)) AS hm
+                FROM toks),
     hashed AS (SELECT doc_id,
-                      list_transform(w, x -> {lo}) AS hlo,
-                      list_transform(w, x -> {hi}) AS hhi FROM toks),
-    sums AS (SELECT doc_id, {', '.join(sum_cols)} FROM hashed),
+                      list_transform(hm, m -> CAST('0x' || substr(m, 1, 8) AS BIGINT)) AS hlo,
+                      list_transform(hm, m -> CAST('0x' || substr(m, 9, 8) AS BIGINT)) AS hhi
+               FROM digests),
+    sums AS (SELECT doc_id, len(hlo) AS n, {', '.join(sum_cols)} FROM hashed),
     sig0 AS (SELECT doc_id, {', '.join(band_cols)} FROM sums),
     sig AS (SELECT doc_id, sh_b0, sh_b1, sh_b2, sh_b3,
                    printf('%04x%04x%04x%04x', sh_b3, sh_b2, sh_b1, sh_b0)

@@ -79,11 +79,20 @@ def exact_dedup_groups(
 def exact_dedup_keep_min(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Deduplicated survivors: the min-id row per content fingerprint."""
-    hashed = df.withColumn("content_hash", T.fingerprint(F.col(text_col)))
-    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    return hashed.join(keep, on=["content_hash", id_col], how="left_semi").drop(
-        "content_hash"
+    """Deduplicated survivors: the min-id row per content fingerprint.
+
+    Planned as a row_number window over the fingerprint, not a
+    groupBy+left-semi: the semi-join shape plans the scan+fingerprint
+    subtree TWICE (both join inputs re-run the normalize/md5 work), while
+    the window fingerprints once and shuffles once on the hash."""
+    from pyspark.sql.window import Window
+
+    keep_first = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.withColumn("content_hash", T.fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(keep_first))
+        .filter(F.col("_rn") == 1)
+        .drop("content_hash", "_rn")
     )
 
 
@@ -115,18 +124,35 @@ def minhash_components(
     """(id, mh_0..mh_{n-1}) via shingle explode + n min-aggregates.
 
     Same math as :func:`minhash_signature`, different physical shape:
-    Spark evaluates array-lambda HOFs interpreted (one pass per seed, no
-    codegen), while this runs the md5 chain on FLAT columns inside
-    whole-stage codegen — the shingle array is built once per doc, and
-    hash-partial-aggregation collapses each doc to one row per partition
-    before the single id shuffle, so at 100 TB the exchange carries docs,
-    not docs x shingles."""
+    Spark evaluates array-lambda HOFs interpreted (one pass per component,
+    no codegen), while this runs the md5 chain on FLAT columns inside
+    whole-stage codegen — the shingle array is built once per doc, each
+    needed digest materializes ONCE per shingle row (4 components slice
+    from each 128-bit digest), and hash-partial-aggregation collapses each
+    doc to one row per partition before the single id shuffle, so at
+    100 TB the exchange carries docs, not docs x shingles."""
+    n_digests = -(-n_hashes // H.MINHASH_SLICES)  # ceil
     sh = df.select(
         F.col(id_col),
         F.explode(H.shingles(H.words(F.col(text_col)), k=shingle_k)).alias("_sh"),
     )
-    return sh.groupBy(id_col).agg(
-        *[F.min(H.hash32(F.col("_sh"), s)).alias(f"mh_{s}") for s in range(n_hashes)]
+    digests = sh.select(
+        F.col(id_col),
+        *[
+            H.minhash_digest(F.col("_sh"), d * H.MINHASH_SLICES).alias(f"_m{d}")
+            for d in range(n_digests)
+        ],
+    )
+    return digests.groupBy(id_col).agg(
+        *[
+            F.min(
+                H.md5_slice32(
+                    F.col(f"_m{s // H.MINHASH_SLICES}"),
+                    1 + 8 * (s % H.MINHASH_SLICES),
+                )
+            ).alias(f"mh_{s}")
+            for s in range(n_hashes)
+        ]
     )
 
 
@@ -219,28 +245,35 @@ def simhash64_signatures(
     """(id, sh_b0..sh_b3, simhash_hex): 64-bit SimHash as 4 x 16-bit bands.
 
     Physical shape mirrors :func:`minhash_components`: token explode -> 64
-    conditional-sum aggregates over FLAT hash columns — whole-stage codegen,
-    with partial aggregation collapsing each doc per partition before the
+    branch-free bit-popcount sums + one token count over FLAT hash columns
+    (majority vote = ``2*popcount > n``) — whole-stage codegen, with
+    partial aggregation collapsing each doc per partition before the
     single id shuffle, so at 100 TB the exchange carries docs, not tokens.
     (The alternative — 64 interpreted ``F.aggregate`` array folds — runs
     outside codegen and re-walks the token array per bit.)
-    ``explode_outer`` keeps empty documents: their NULL token hash
-    contributes 0 to every bit sum, giving the all-zero signature.
+    ``explode_outer`` keeps empty documents: SUM skips their NULL token
+    hash and the count is 0, giving the all-zero signature.
     """
     toks = df.select(
         F.col(id_col), F.explode_outer(H.words(F.col(text_col))).alias("_w")
     )
-    hashed = toks.select(
-        F.col(id_col),
-        H.hash32(F.col("_w"), H.SIMHASH_SEED_LO).alias("_lo"),
-        H.hash32(F.col("_w"), H.SIMHASH_SEED_HI).alias("_hi"),
+    # ONE md5 per token; both 32-bit halves slice from its 32 hex chars
+    # (a second digest for the high half would double the dominant cost).
+    digests = toks.select(
+        F.col(id_col), H.simhash64_token_md5(F.col("_w")).alias("_m")
     )
-    terms = H.simhash64_bit_sum_terms(F.col("_lo"), F.col("_hi"))
+    hashed = digests.select(
+        F.col(id_col),
+        H.md5_slice32(F.col("_m"), 1).alias("_lo"),
+        H.md5_slice32(F.col("_m"), 9).alias("_hi"),
+    )
+    bits = H.simhash64_bit_cols(F.col("_lo"), F.col("_hi"))
     agg = hashed.groupBy(id_col).agg(
-        *[F.sum(t).alias(f"_s{b}") for b, t in enumerate(terms)]
+        F.count("_lo").alias("_n"),
+        *[F.sum(t).alias(f"_s{b}") for b, t in enumerate(bits)],
     )
     bands = H.simhash64_bands_from_bit_sums(
-        [F.col(f"_s{b}") for b in range(H.SIMHASH_BITS)]
+        [F.col(f"_s{b}") for b in range(H.SIMHASH_BITS)], F.col("_n")
     )
     return agg.select(
         F.col(id_col), *[band.alias(f"sh_b{j}") for j, band in enumerate(bands)]

@@ -63,6 +63,9 @@ _DRIVER_WINDOW = [
     "s_ivf_nprobe",
     "d_simhash",
     "d_simhash_pairs",
+    "q_stratified_sample",
+    "q_time_series_gap_fill",
+    "t_quality_score",
     # -- gateway parity (reference operators) --
     "g_parse_serial",
     "g_rfm2pi_decode",
@@ -75,15 +78,12 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q_asof_join",
     "d_exact_dedup_groups",
     "d_exact_dedup_survivors",
     "d_minhash_signature",
     "d_minhash_lsh_pairs",
-    "d_ngram_jaccard",
     "s_cosine_topk",
     "s_ann_lsh_topk",
-    "s_embedding_neardup",
 ]
 
 

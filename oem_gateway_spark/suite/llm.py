@@ -333,6 +333,73 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {T.word_tokens_sql('text')} AS w FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST({T.stopword_hits_sql('w', 'en')} AS INT) AS sw_hits,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS INT) AS n_punct
+      FROM toks)
+    SELECT doc_id,
+           CAST(4 * least(n_words, 100)
+                + 30 * least(sw_hits, 10)
+                + CASE WHEN 20 * n_punct <= n_chars THEN 100 ELSE 0 END
+                AS INT) AS points,
+           CASE WHEN 4 * least(n_words, 100) + 30 * least(sw_hits, 10)
+                     + CASE WHEN 20 * n_punct <= n_chars THEN 100 ELSE 0 END
+                     >= 500 THEN 'high'
+                WHEN 4 * least(n_words, 100) + 30 * least(sw_hits, 10)
+                     + CASE WHEN 20 * n_punct <= n_chars THEN 100 ELSE 0 END
+                     >= 250 THEN 'medium'
+                ELSE 'low' END AS tier
+    FROM feats
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score as INTEGER points (capped word
+    count, capped stopword evidence, low-punctuation bonus) + tier label.
+    All-integer arithmetic on purpose: ratio-weighted float scores sit on
+    rounding midpoints where engines disagree (see oracle-parity notes);
+    points order documents identically and filter identically at any
+    scale — and the whole thing is one codegen map pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = T.word_tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars"),
+        T.stopword_hits(w, "en").cast("int").alias("sw_hits"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        )
+        .cast("int")
+        .alias("n_punct"),
+    )
+    points = (
+        F.lit(4) * F.least(F.col("n_words"), F.lit(100))
+        + F.lit(30) * F.least(F.col("sw_hits"), F.lit(10))
+        + F.when(F.lit(20) * F.col("n_punct") <= F.col("n_chars"), 100).otherwise(0)
+    )
+    return feats.select(
+        "doc_id",
+        points.cast("int").alias("points"),
+        F.when(points >= 500, "high")
+        .when(points >= 250, "medium")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 def _cosine_topk_oracle(k: int = 5, stride: int = 100) -> str:

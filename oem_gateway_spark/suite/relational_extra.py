@@ -129,3 +129,73 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice_sum"), 4).alias("total"),
         F.col("n").alias("n"),
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE CAST('0x' || substr(md5('samp:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % 100
+          < CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipelines): keep a
+    row iff an md5-derived hash of its key falls under the stratum's rate
+    (urgent 50%, rest 10%).  Pure map filter — no shuffle, no RNG state,
+    reproducible across engines/runs/retries, and the rate predicate pushes
+    into the scan pipeline; at 100 TB this is THE sampling primitive
+    (rand() samples are neither reproducible nor replay-stable)."""
+    from oem_gateway_spark.functions.hashing import hash32
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = hash32(F.col("o_orderkey").cast("string"), "samp") % 100
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT", 50).otherwise(10)
+    return o.filter(bucket < rate).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "q_time_series_gap_fill",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+                WHERE user_id % 50 = 0),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM ev GROUP BY user_id),
+    days AS (SELECT user_id,
+                    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                      AS day
+             FROM bounds),
+    daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY user_id, day)
+    SELECT d.user_id, CAST(d.day AS TIMESTAMP) AS day, COALESCE(daily.n, 0) AS n
+    FROM days d LEFT JOIN daily USING (user_id, day)
+    """,
+)
+def q_time_series_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's daily activity to a
+    complete calendar (sequence + explode generates the scaffold
+    executor-side; missing days coalesce to 0).  The scaffold join keys on
+    (user, day) — co-partitioned with the aggregation, so the fill adds no
+    extra shuffle of the fact table."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    return days.join(daily, on=["user_id", "day"], how="left").select(
+        "user_id",
+        # DATE -> TIMESTAMP for output parity (DuckDB DATEs surface as
+        # datetime64 in pandas, Spark dates as datetime.date objects).
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )

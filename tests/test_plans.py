@@ -153,3 +153,14 @@ def test_simhash_pairs_banded_plan(spark):
         from oem_gateway_spark.operators.dedup import release_caches
 
         release_caches(df)
+
+
+def test_exact_dedup_survivors_single_subtree(spark):
+    """Survivor selection must be the window shape: a groupBy+semi-join
+    twin plans the scan+fingerprint subtree twice (2x the normalize/md5
+    work at any scale).  No Join node; exactly one exchange (the
+    content-hash shuffle)."""
+    df = REGISTRY["d_exact_dedup_survivors"].fn(spark, SF)
+    text = explain_str(df)
+    assert "Join" not in text, text
+    assert "Window" in text, text
