@@ -30,6 +30,8 @@ HEADLINE = [
     # LLM ops
     "d_exact_dedup_survivors",
     "d_minhash_lsh_pairs",
+    "d_contamination",
+    "d_dup_clusters",
     "d_simhash_pairs",
     "d_simhash_hamming_k",
     "t_text_stats",

@@ -23,6 +23,7 @@ from oem_gateway_spark.suite import udf_surface  # noqa: F401,E402
 from oem_gateway_spark.suite import scalar_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import relational_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import udtf_cogroup  # noqa: F401,E402
+from oem_gateway_spark.suite import pipeline_extra  # noqa: F401,E402
 
 # First-50 driver window (see module docstring).  Order within: the 26 queries
 # no CORRECTNESS_r{1,2} file ever contained, then s_ivf_ann_topk (green in r01
@@ -66,6 +67,11 @@ _DRIVER_WINDOW = [
     "q_stratified_sample",
     "q_time_series_gap_fill",
     "t_quality_score",
+    "d_contamination",
+    "d_dup_clusters",
+    "t_vocab_topk",
+    "t_rare_terms",
+    "s_knn_classify",
     # -- gateway parity (reference operators) --
     "g_parse_serial",
     "g_rfm2pi_decode",
@@ -74,16 +80,12 @@ _DRIVER_WINDOW = [
     "g_rfm2pi_dead_letter",
     "g_bulk_encode",
     "g_fanout_union",
-    # -- representative relational/LLM slice --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # -- representative slice: impl changed this round (md5-slice minhash,
+    # window-shape survivors) so these must be re-witnessed --
     "d_exact_dedup_groups",
     "d_exact_dedup_survivors",
     "d_minhash_signature",
     "d_minhash_lsh_pairs",
-    "s_cosine_topk",
-    "s_ann_lsh_topk",
 ]
 
 

@@ -1,0 +1,243 @@
+"""Training-data pipeline completions: train/test contamination checks,
+duplicate-cluster labeling (connected components over near-dup pairs),
+corpus vocabulary statistics, per-document distinctive terms, and kNN
+label classification over embeddings.
+
+Same oracle strategy as suite/llm.py: every primitive is an md5/integer
+construction both engines replay exactly — no tolerances, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.operators import similarity as S
+from oem_gateway_spark.operators.graph import connected_components
+from oem_gateway_spark.suite.llm import (
+    CORPUS_SQL,
+    DOC_OFFSET,
+    _corpus,
+    _cosine_topk_oracle,
+    _lsh_pairs_oracle,
+)
+from oem_gateway_spark.suite.registry import query
+
+# ------------------------------------------------- train/test contamination
+
+CONTAM_K = 8  # 8-word shingles: the standard decontamination n-gram size
+
+
+@query(
+    "d_contamination",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus),
+    raw AS (SELECT doc_id,
+                   unnest(list_distinct({H.shingles_sql('w', CONTAM_K)})) AS s
+            FROM toks),
+    sh AS (SELECT doc_id, md5(s) AS g FROM raw),
+    test_sh AS (SELECT doc_id, g FROM sh WHERE doc_id >= {DOC_OFFSET}),
+    train_g AS (SELECT DISTINCT g FROM sh WHERE doc_id < {DOC_OFFSET}),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+               FROM test_sh GROUP BY doc_id),
+    hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM test_sh t JOIN train_g USING (g) GROUP BY t.doc_id)
+    SELECT totals.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+           COALESCE(n_hit, 0) > 0 AS contaminated
+    FROM totals LEFT JOIN hits USING (doc_id)
+    """,
+)
+def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: an evaluation document is flagged
+    when any of its 8-word shingles appears anywhere in the training
+    corpus (the perturbed copies play the eval set; the originals the
+    training set).  Joins on md5(shingle) so the exchange carries 128-bit
+    keys, not raw text.
+
+    Shape for 100 TB: the EVAL side is tiny by contract (benchmark suites
+    are ~1e5 docs) — its distinct-gram set broadcasts, the training corpus
+    streams map-side through the broadcast join probe with no shuffle, and
+    only the matched grams (bounded by |eval shingles|) reach the per-doc
+    count aggregation."""
+    corpus = _corpus(spark, sf_dir)
+    # Dedupe raw shingles per doc map-side (array_distinct), THEN md5 on
+    # the flat exploded column — the digest runs in whole-stage codegen,
+    # not as an interpreted array lambda.
+    grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(H.shingles(H.words(F.col("text")), k=CONTAM_K))
+        ).alias("s"),
+    ).select("doc_id", F.md5("s").alias("g"))
+    test_sh = grams.filter(F.col("doc_id") >= DOC_OFFSET)
+    train_g = grams.filter(F.col("doc_id") < DOC_OFFSET).select("g").distinct()
+    totals = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train_g.join(F.broadcast(test_sh), on="g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return totals.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------- duplicate clustering
+
+
+@query(
+    "d_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    walk(node, reached) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN edges e ON w.reached = e.s
+    )
+    SELECT node AS doc_id, CAST(min(reached) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    near-dup pair list (A~B, B~C collapse to one cluster even when A and
+    C never share a band); cluster_id = min doc_id of the component, the
+    canonical survivor a keep-first dedup would retain.
+
+    The oracle walks reachability with a recursive CTE (needn't scale,
+    only agree); the Spark side iterates min-label propagation on the
+    sparse edge list — see ``operators/graph.py`` for the 100 TB story."""
+    from oem_gateway_spark.operators.dedup import minhash_lsh_pairs, release_caches
+
+    pairs = minhash_lsh_pairs(_corpus(spark, sf_dir))
+    out = connected_components(pairs)
+    release_caches(pairs)
+    return out
+
+
+# ------------------------------------------------------- vocabulary stats
+
+
+@query(
+    "t_vocab_topk",
+    oracle=f"""
+    WITH toks AS (SELECT {H.words_sql('text')} AS w FROM documents),
+    flat AS (SELECT unnest(w) AS token FROM toks),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+               FROM flat GROUP BY token)
+    SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 tokens by total occurrences
+    (count desc, token asc tiebreak).  The explode feeds a hash
+    aggregate, so partial (map-side) aggregation collapses each
+    partition to its distinct tokens before the one shuffle — the
+    exchange carries vocabulary, not corpus, at any scale; the global
+    top-k is a single tiny sort on the aggregated counts."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return (
+        docs.select(F.explode(H.words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "t_rare_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM documents),
+    dt AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM toks),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+           FROM dt GROUP BY token),
+    ranked AS (
+      SELECT dt.doc_id, dt.token, df.doc_freq,
+             row_number() OVER (PARTITION BY dt.doc_id
+                                ORDER BY df.doc_freq, dt.token) AS rnk
+      FROM dt JOIN df USING (token))
+    SELECT doc_id, token, doc_freq, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def t_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: the 3 tokens with the LOWEST
+    document frequency (IDF ranking by integer doc-counts — same ordering
+    as TF-IDF's rarity axis with none of the float-log rounding that
+    breaks cross-engine parity; ties break on the token).
+
+    Shape: distinct (doc, token) -> vocabulary doc_freq (tiny, broadcast
+    back) -> per-doc top-3 window.  The corpus shuffles once for the
+    distinct; the doc_freq join is broadcast, and the window partitions
+    by doc — no skew (every doc's partition is its own token count)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dt = docs.select(
+        "doc_id", F.explode(H.words(F.col("text"))).alias("token")
+    ).distinct()
+    df_counts = dt.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    rnk = Window.partitionBy("doc_id").orderBy("doc_freq", "token")
+    return (
+        dt.join(F.broadcast(df_counts), on="token")
+        .withColumn("rnk", F.row_number().over(rnk).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "doc_freq", "rnk")
+    )
+
+
+# -------------------------------------------------------- kNN classification
+
+
+@query(
+    "s_knn_classify",
+    oracle=f"""
+    WITH nn AS ({_cosine_topk_oracle(k=5, stride=50)}),
+    votes AS (
+      SELECT nn.query_id, e.label, CAST(count(*) AS BIGINT) AS votes
+      FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+      GROUP BY nn.query_id, e.label)
+    SELECT query_id, label AS predicted_label, votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label) AS r
+          FROM votes)
+    WHERE r = 1
+    """,
+)
+def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification: every 50th vector is a query; its label
+    is predicted as the majority label of its 5 exact-cosine nearest
+    neighbors (ties -> smaller label).  Composition proof: the ANN top-k
+    operator's output feeds a relational vote without materialization —
+    one Catalyst plan.  The label lookup joins on vec_id against the
+    (id, label) projection — at scale a broadcast of the label dimension
+    or a co-bucketed join, never a shuffle of the vector payload."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nn = S.brute_force_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(F.broadcast(labels), nn["neighbor_id"] == labels["vec_id"])
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    pick = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("r", F.row_number().over(pick))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
