@@ -6,20 +6,28 @@ cluster even when A,C never share a band).  This implements min-label
 propagation on DataFrames: every node starts labeled with itself, and each
 round adopts the minimum label in its closed neighborhood until a fixpoint.
 
+Round shape (deliberately minimal — ONE Spark job per round):
+- neighborhood min = edges ⋈ labels UNION labels, then one min-aggregate
+  (the union carries each node's own label, so no second join is needed to
+  re-attach unchanged nodes);
+- duplicate or both-direction edges are harmless to a min, so the
+  symmetrized edge list is NOT deduplicated (saves a full shuffle);
+- convergence is a SCALAR: labels only ever decrease, so the label sum
+  (exact decimal — no long overflow at any id range) is strictly monotone
+  and the fixpoint is exactly "sum unchanged".  One aggregate action per
+  round materializes the round's lazy localCheckpoint AND tests
+  convergence; no data rows reach the driver.
+
 Scale notes (100 TB):
-- Each round is one shuffle pair (edge join on dst + min-agg on src) over
-  the EDGE list, not the corpus — near-dup graphs are sparse (<< |docs|).
-- Rounds needed = graph diameter; dup clusters are shallow (a cluster's
-  members all share bands with a common medoid, diameter ~2-4), so the
-  loop converges in a handful of rounds.  For adversarial long-chain
-  graphs, switch to the large-star/small-star contraction of
-  Kiveris et al. (CC in MapReduce), which converges in O(log n) rounds —
-  same DataFrame skeleton, different neighbor rule.
-- ``localCheckpoint`` truncates the per-round lineage so the plan doesn't
-  deepen (driver-side planning is the real O(iterations^2) trap); on a
-  cluster use ``checkpoint`` to the durable checkpoint dir instead.
-- The driver-side convergence check aggregates ONE scalar per round
-  (count of relabeled nodes), never collects data rows.
+- Each round shuffles the EDGE list, not the corpus — near-dup graphs are
+  sparse (<< |docs|).
+- Rounds needed = graph diameter; dup clusters are shallow (members share
+  bands with a common medoid, diameter ~2-4).  For adversarial long-chain
+  graphs switch to the large-star/small-star contraction of Kiveris et al.
+  (CC in MapReduce), O(log n) rounds on the same DataFrame skeleton.
+- ``localCheckpoint`` truncates per-round lineage so plans don't deepen
+  (driver-side planning is the real O(rounds^2) trap); on a cluster use
+  ``checkpoint`` to the durable checkpoint dir instead.
 """
 
 from __future__ import annotations
@@ -44,34 +52,33 @@ def connected_components(
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
         .persist()
     )
-    labels = sym.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
     )
+    prev_sum: object = object()  # sentinel != any first-round sum
     try:
         for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym["d"] == labels["node"])
-                .groupBy("s")
-                .agg(F.min("lbl").alias("nb_lbl"))
+            nbr = sym.join(labels, sym["d"] == labels["node"]).select(
+                F.col("s").alias("node"), "lbl"
             )
-            updated = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["s"], "left")
-                .select(
-                    "node",
-                    F.col("lbl").alias("old_lbl"),
-                    F.least("lbl", F.coalesce("nb_lbl", "lbl")).alias("lbl"),
-                )
-                .localCheckpoint()
+            labels = (
+                nbr.union(labels)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=False)
             )
-            n_changed = updated.filter(F.col("lbl") != F.col("old_lbl")).count()
-            labels = updated.select("node", "lbl")
-            if n_changed == 0:
+            lbl_sum = labels.agg(
+                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if lbl_sum == prev_sum:
                 return labels.select(
                     F.col("node").alias(node_out), F.col("lbl").alias(label_out)
                 )
+            prev_sum = lbl_sum
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     finally:
         sym.unpersist()

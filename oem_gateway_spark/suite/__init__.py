@@ -72,6 +72,8 @@ _DRIVER_WINDOW = [
     "t_vocab_topk",
     "t_rare_terms",
     "s_knn_classify",
+    "d_domain_cap",
+    "d_shard_packing",
     # -- gateway parity (reference operators) --
     "g_parse_serial",
     "g_rfm2pi_decode",
@@ -79,10 +81,8 @@ _DRIVER_WINDOW = [
     "g_rfm2pi_parity_reject",
     "g_rfm2pi_dead_letter",
     "g_bulk_encode",
-    "g_fanout_union",
     # -- representative slice: impl changed this round (md5-slice minhash,
     # window-shape survivors) so these must be re-witnessed --
-    "d_exact_dedup_groups",
     "d_exact_dedup_survivors",
     "d_minhash_signature",
     "d_minhash_lsh_pairs",

@@ -63,16 +63,24 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams map-side through the broadcast join probe with no shuffle, and
     only the matched grams (bounded by |eval shingles|) reach the per-doc
     count aggregation."""
+    from oem_gateway_spark.operators.dedup import _own_cache
+
     corpus = _corpus(spark, sf_dir)
     # Dedupe raw shingles per doc map-side (array_distinct), THEN md5 on
     # the flat exploded column — the digest runs in whole-stage codegen,
-    # not as an interpreted array lambda.
-    grams = corpus.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(H.shingles(H.words(F.col("text")), k=CONTAM_K))
-        ).alias("s"),
-    ).select("doc_id", F.md5("s").alias("g"))
+    # not as an interpreted array lambda.  The gram table feeds THREE
+    # consumers (eval totals, train side, the hit join): persist so the
+    # shingle/md5 scan runs once (caller releases via release_caches).
+    grams = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(H.shingles(H.words(F.col("text")), k=CONTAM_K))
+            ).alias("s"),
+        )
+        .select("doc_id", F.md5("s").alias("g"))
+        .persist()
+    )
     test_sh = grams.filter(F.col("doc_id") >= DOC_OFFSET)
     train_g = grams.filter(F.col("doc_id") < DOC_OFFSET).select("g").distinct()
     totals = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
@@ -81,12 +89,13 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
-    return totals.join(hits, on="doc_id", how="left").select(
+    out = totals.join(hits, on="doc_id", how="left").select(
         "doc_id",
         "n_grams",
         F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
         (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
     )
+    return _own_cache(out, grams)
 
 
 # --------------------------------------------------- duplicate clustering
@@ -120,9 +129,14 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse edge list — see ``operators/graph.py`` for the 100 TB story."""
     from oem_gateway_spark.operators.dedup import minhash_lsh_pairs, release_caches
 
-    pairs = minhash_lsh_pairs(_corpus(spark, sf_dir))
+    # The edge list feeds both union branches of the symmetrization —
+    # persist it or the LSH band join runs twice.  Everything upstream can
+    # be released as soon as connected_components returns: its result is
+    # localCheckpoint-materialized, with no live lineage into the pairs.
+    pairs = minhash_lsh_pairs(_corpus(spark, sf_dir)).persist()
     out = connected_components(pairs)
     release_caches(pairs)
+    pairs.unpersist()
     return out
 
 
@@ -197,6 +211,106 @@ def t_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(rnk).cast("int"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "doc_freq", "rnk")
+    )
+
+
+# ------------------------------------------------- per-source mix controls
+
+DOMAIN_CAP = 15  # max docs kept per source (anti-spam / domain balancing)
+SHARD_TOKEN_BUDGET = 5000  # bpe tokens per training shard (within source)
+
+
+@query(
+    "d_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rk
+          FROM documents)
+    WHERE rk <= {DOMAIN_CAP}
+    """,
+)
+def d_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_CAP docs per source,
+    chosen by md5-hash order — a deterministic uniform sample per domain
+    (anti-spam / mix balancing: no domain may dominate the training set).
+    Hash order, not doc_id order, so the kept set is unbiased w.r.t.
+    crawl/insertion order and stable across runs and engines.
+
+    One window over the source partition — at 100 TB sources are numerous
+    (millions of domains), so the window parallelizes across them; a
+    skewed mega-domain still only sorts ITS OWN rows, and AQE skew-split
+    handles the exchange."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rk")
+    )
+
+
+@query(
+    "d_shard_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST({{bpe}} AS BIGINT) AS bpe_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, bpe_tokens,
+             CAST(sum(bpe_tokens) OVER (PARTITION BY source
+                      ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM toks)
+    SELECT doc_id, source, bpe_tokens, cum_tokens,
+           CAST((cum_tokens - 1) // {SHARD_TOKEN_BUDGET} AS INT) AS shard
+    FROM packed
+    """.replace("{bpe}", "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))"),
+)
+def d_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: within each source, docs line up in
+    deterministic md5 order and fill shards of SHARD_TOKEN_BUDGET BPE
+    tokens by running sum (shard = (cum-1) div budget) — how a training
+    pipeline materializes fixed-size data shards without a global sort.
+
+    The running sum windows WITHIN source — parallel across sources, never
+    the single-task global-order cumsum (the naive global packing is
+    inherently sequential; per-source packing is the scale-correct frame,
+    with a final tiny shard-renumber if globally unique ids are needed)."""
+    from oem_gateway_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        T.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+    return toks.withColumn("cum_tokens", F.sum("bpe_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "bpe_tokens",
+        "cum_tokens",
+        # integer `div`, not float floor-divide: exact at any magnitude
+        F.expr(f"(cum_tokens - 1) div {SHARD_TOKEN_BUDGET}")
+        .cast("int")
+        .alias("shard"),
     )
 
 
