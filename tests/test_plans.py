@@ -164,3 +164,44 @@ def test_exact_dedup_survivors_single_subtree(spark):
     text = explain_str(df)
     assert "Join" not in text, text
     assert "Window" in text, text
+
+
+def test_domain_cap_windowed_no_join(spark):
+    """Per-source quota: one window over the source partition — no join,
+    and only the explicit fan-out + the window's source exchange."""
+    df = REGISTRY["d_domain_cap"].fn(spark, SF)
+    text = explain_str(df)
+    assert "Join" not in text, text
+    assert num_exchanges(df) == 2, text
+
+
+def test_shard_packing_no_global_sort(spark):
+    """Token packing must cumsum WITHIN source: a global-order running sum
+    would plan Exchange SinglePartition (one sequential task at any scale)."""
+    text = explain_str(REGISTRY["d_shard_packing"].fn(spark, SF))
+    assert "SinglePartition" not in text, text
+    assert "Join" not in text, text
+
+
+def test_vocab_topk_take_ordered(spark):
+    """Global top-20 tokens: partial-aggregated counts feed
+    TakeOrderedAndProject — never a full global Sort exchange."""
+    df = REGISTRY["t_vocab_topk"].fn(spark, SF)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text, text
+    assert "SinglePartition" not in text, text
+    assert num_exchanges(df) == 2, text
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The hit join must broadcast (eval side small by contract) so the
+    training corpus streams map-side."""
+    assert has_broadcast_join(REGISTRY["d_contamination"].fn(spark, SF))
+
+
+def test_knn_classify_single_exchange(spark):
+    """kNN vote composes on the broadcast top-k: the only exchange is the
+    per-query window/vote aggregation."""
+    df = REGISTRY["s_knn_classify"].fn(spark, SF)
+    assert has_broadcast_join(df), explain_str(df)
+    assert num_exchanges(df) == 1, explain_str(df)
