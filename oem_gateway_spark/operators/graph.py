@@ -54,12 +54,19 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .persist()
     )
+    # Round 1 fused into initialization: min(least(s,d)) over a node's
+    # edges IS its closed-neighborhood min when every label is still its
+    # node id — one aggregate replaces the node-set distinct plus a full
+    # propagation round.
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
+        sym.groupBy("s")
+        .agg(F.min(F.least("s", "d")).alias("lbl"))
+        .select(F.col("s").alias("node"), "lbl")
+        .localCheckpoint(eager=False)
     )
-    prev_sum: object = object()  # sentinel != any first-round sum
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     try:
         for _ in range(max_iter):
             nbr = sym.join(labels, sym["d"] == labels["node"]).select(

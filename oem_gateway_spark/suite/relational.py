@@ -795,6 +795,34 @@ def q_pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+      FROM lineitem WHERE l_orderkey % 100 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey % 100 = 0
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey % 100 = 0)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns to (metric, val) rows — the
+    inverse of q_pivot_conditional, via the native ``unpivot`` operator
+    (one Generate pass over the scan, row count x n_measures, no join or
+    shuffle; the oracle spells it as UNION ALL, the relational identity)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+@query(
     "q_stats_agg",
     oracle="""
     SELECT l_returnflag,

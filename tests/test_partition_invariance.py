@@ -1,0 +1,42 @@
+"""Partition-count invariance: a correct distributed plan returns the SAME
+rows whatever ``spark.sql.shuffle.partitions`` is — the local stand-in for
+"would survive a 1000-executor re-shard".  Hash-based operators (LSH
+banding, dedup survivors, windowed packing, connected components) are the
+ones that would silently break if any step depended on row co-location."""
+
+from __future__ import annotations
+
+import pytest
+
+from oem_gateway_spark.operators.dedup import release_caches
+from oem_gateway_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "d_minhash_lsh_pairs",
+    "d_exact_dedup_survivors",
+    "d_shard_packing",
+    "d_dup_clusters",
+    "q_salted_agg",
+]
+
+
+def _rows(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    rows = sorted(tuple(r) for r in df.collect())
+    release_caches(df)
+    return rows
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_shuffle_partition_invariance(spark, name):
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert low == high
