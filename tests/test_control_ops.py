@@ -365,3 +365,47 @@ def test_rollup_rejects_second_live_maintainer(spark, scratch):
     ru3.process_batch(_rollup_batch(spark, [(11, 1)]), 2)
     assert 11 in {r["node"] for r in spark.read.parquet(store).collect()}
     ru3.release_lease()
+
+
+def test_transform_with_state_counter_deltas(spark, scratch):
+    """Counter-to-rate via transformWithStateInPandas (StatefulProcessor +
+    ValueState): deltas must difference consecutive readings per node AND
+    carry the last value across micro-batch boundaries.  Skips where the
+    protobuf runtime (required by the TWS state server) is absent."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.streaming.state import node_counter_deltas
+
+    inp = os.path.join(scratch, "in_tws")
+    os.makedirs(inp)
+    # meter readings: node 10 counts 100 -> 103 -> 110; node 11: 7 -> 7.5
+    with open(os.path.join(inp, "b1.txt"), "w") as f:
+        f.write("10,1000,100.0\n10,2000,103.0\n11,1500,7.0\n")
+    with open(os.path.join(inp, "b2.txt"), "w") as f:
+        f.write("10,3000,110.0\n11,2500,7.5\n")
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(inp)
+    parsed = raw.select(
+        F.split("value", ",")[0].cast("int").alias("node"),
+        F.timestamp_millis(F.split("value", ",")[1].cast("long")).alias("ingest_ts"),
+        F.split("value", ",")[2].cast("double").alias("value"),
+    )
+    deltas = node_counter_deltas(parsed)
+    q = (
+        deltas.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("tws_test").collect()
+    got = {(r["node"], r["ts_ms"]): r["delta"] for r in rows}
+    assert len(rows) == 5, rows
+    assert got[(10, 1000)] is None  # first-ever reading: no delta
+    assert got[(10, 2000)] == 3.0
+    assert got[(10, 3000)] == 7.0  # state carried across the batch boundary
+    assert got[(11, 1500)] is None
+    assert got[(11, 2500)] == 0.5
