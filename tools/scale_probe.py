@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: measure how the heavy operators grow as the
+corpus multiplies, and write SCALING.md.
+
+    python tools/scale_probe.py [--factors 1,2,4] [--sf /root/testdata/sf0.1]
+
+Builds k-times-replicated copies of ``documents`` / ``embeddings`` under
+``.scratch/scale/`` (deterministic per-replica perturbations so replicas
+are near- but not exact duplicates — dedup keeps real work to do), runs
+the operator set at each factor (best of 2, noop sink), and reports the
+observed growth exponent log(t_k/t_1)/log(k).  An exponent near 1.0 is
+the evidence the bucketed/banded plans deliver what they promise: linear
+corpus cost, no hidden quadratic candidate blowup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCRATCH = "/root/repo/.scratch/scale"
+
+# Operators worth probing: everything with a join/self-join/iteration that
+# COULD go quadratic, plus one map-only baseline.
+PROBES = [
+    "t_text_stats",            # map-only baseline (must be ~1.0)
+    "d_exact_dedup_survivors",  # hash shuffle + window
+    "d_minhash_lsh_pairs",      # banded LSH self-join
+    "d_simhash_hamming_k",      # banded SimHash self-join
+    "d_dup_clusters",           # iterative connected components
+    "d_contamination",          # broadcast gram join
+    "s_ann_lsh_topk",           # bucketed ANN
+]
+
+
+def _build_scaled(spark, sf_dir: str, factor: int) -> str:
+    """Replicate documents/embeddings ``factor`` times with deterministic
+    perturbations; returns the scaled table dir (cached across runs)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"x{factor}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    d_parts, e_parts = [], []
+    for k in range(factor):
+        # replica k: ids shift by k*n; text gets a replica salt token so
+        # replicas are near-dups (MinHash still banding them together at
+        # jaccard ~1) rather than byte-identical rows.
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                (
+                    F.col("text")
+                    if k == 0
+                    else F.concat(F.col("text"), F.lit(f" replica{k}"))
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + k * n_vecs).alias("vec_id"),
+                (
+                    F.col("embedding")
+                    if k == 0
+                    else F.transform(
+                        "embedding", lambda x: x * (1.0 + k * 1e-3)
+                    ).cast("array<float>")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    sd, se = d_parts[0], e_parts[0]
+    for p in d_parts[1:]:
+        sd = sd.unionByName(p)
+    for p in e_parts[1:]:
+        se = se.unionByName(p)
+    sd.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    se.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,2,4")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                   "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+
+    from oem_gateway_spark import get_spark
+    from oem_gateway_spark.operators.dedup import release_caches
+    from oem_gateway_spark.suite import REGISTRY
+
+    spark = get_spark(app_name="scale-probe", extra_conf={
+        "spark.ui.showConsoleProgress": "false",
+    })
+    dirs = {}
+    for f in factors:
+        dirs[f] = _build_scaled(spark, args.sf, f) if f != 1 else None
+
+    # other tables (events etc.) resolve from the base dir via symlinks
+    for f, d in dirs.items():
+        if d is None:
+            continue
+        for name in os.listdir(args.sf):
+            dst = os.path.join(d, name)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(args.sf, name), dst)
+
+    timings: dict[str, dict[int, float]] = {p: {} for p in PROBES}
+    for f in factors:
+        sf_dir = args.sf if f == 1 else dirs[f]
+        for _rep in range(2):  # best-of-2 (ambient load)
+            for name in PROBES:
+                t0 = time.perf_counter()
+                df = REGISTRY[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                cur = timings[name].get(f)
+                timings[name][f] = dt if cur is None else min(cur, dt)
+                release_caches(df)
+        print(f"x{f} done", {p: round(timings[p][f], 2) for p in PROBES},
+              flush=True)
+
+    import math
+
+    base = factors[0]
+    lines = [
+        "# SCALING.md — measured corpus-scaling exponents",
+        "",
+        f"Probe corpus: `{args.sf}` documents/embeddings replicated k× with",
+        "deterministic near-dup perturbations (see `tools/scale_probe.py`).",
+        "Best-of-2 wall time per operator (noop sink, local[32]).  The",
+        "exponent is log(t_k/t_1)/log(k) for the largest k: ~1.0 = linear",
+        "(the 100 TB contract), >1.5 would flag a quadratic candidate blowup.",
+        "",
+        "| operator | " + " | ".join(f"x{f} (s)" for f in factors)
+        + " | overall exp | tail exp |",
+        "|---|" + "---|" * (len(factors) + 2),
+    ]
+    results = {}
+    for name in PROBES:
+        row = [f"| {name} "]
+        t1 = timings[name][base]
+        for f in factors:
+            row.append(f"| {timings[name][f]:.2f} ")
+        kmax, kprev = factors[-1], factors[-2]
+        exp = math.log(timings[name][kmax] / t1) / math.log(kmax / base)
+        # tail exponent (two largest factors): least overhead-diluted —
+        # the number to read for asymptotic behavior.
+        tail = math.log(timings[name][kmax] / timings[name][kprev]) / math.log(
+            kmax / kprev
+        )
+        results[name] = {"overall": round(exp, 2), "tail": round(tail, 2)}
+        row.append(f"| {exp:.2f} | {tail:.2f} |")
+        lines.append("".join(row))
+    lines += [
+        "",
+        "Exponents below 1.0 mean fixed per-query overhead (session, plan,",
+        "stage scheduling) still dominates at this corpus size — the",
+        "operator's data-dependent cost is at most linear.",
+        "",
+        "```json",
+        json.dumps(results),
+        "```",
+        "",
+    ]
+    with open("/root/repo/SCALING.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print("SCALING.md written:", results)
+
+
+if __name__ == "__main__":
+    main()
