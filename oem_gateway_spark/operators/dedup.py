@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     n_bands: int = 4,
     min_equal: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -170,7 +171,16 @@ def minhash_lsh_pairs(
     become candidates; candidates keep >= min_equal equal MinHash components
     (estimated jaccard >= min_equal/n_hashes).  Returns
     (id_a, id_b, n_equal_minhash) with id_a < id_b, distinct.
-    """
+
+    ``max_bucket_size`` is the boilerplate-skew valve (None = exact
+    all-pairs within every bucket): a bucket of m near-identical docs
+    (cookie banners, license headers) otherwise materializes m^2/2
+    candidates — quadratic in the ONE place LSH can blow up.  Buckets over
+    the cap contribute STAR candidates instead (bucket-min paired with
+    every member): linear, loses only member-member edges WITHIN the mega
+    bucket, and those are exactly the pairs downstream connected
+    components re-derives transitively through the hub.  Verification is
+    unchanged — star candidates pass the same min_equal filter."""
     rows = n_hashes // n_bands
     sig = minhash_components(df, id_col, text_col, n_hashes)
     # The signature feeds both join sides and every band: persist so the
@@ -203,6 +213,31 @@ def minhash_lsh_pairs(
         F.col("bb.bucket").alias("bucket"),
         *[F.col(f"mh_{s}") for s in range(n_hashes)],
     )
+    if max_bucket_size is not None:
+        # One extra aggregate on the SAME (band, bucket) key the join
+        # shuffles on (no new exchange shape): per-bucket size + min id.
+        stats = bands.groupBy("band", "bucket").agg(
+            F.count("*").alias("_sz"), F.min(id_col).alias("_bmin")
+        )
+        bands = bands.join(stats, on=["band", "bucket"])
+        mega = bands.filter(
+            (F.col("_sz") > max_bucket_size) & (F.col(id_col) != F.col("_bmin"))
+        )
+        bands = bands.filter(F.col("_sz") <= max_bucket_size).drop("_sz", "_bmin")
+        # Star candidates: hub (bucket min) signature joined back from the
+        # persisted sig — |mega members| lookup rows, never m^2.
+        hub = sig.select(
+            F.col(id_col).alias("_bmin"),
+            *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(n_hashes)],
+        )
+        star = mega.join(hub, on="_bmin").select(
+            F.col("_bmin").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"a_{s}") for s in range(n_hashes)],
+            *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(n_hashes)],
+        )
+    else:
+        star = None
     left = bands.select(
         F.col(id_col).alias("id_a"),
         "band",
@@ -215,17 +250,17 @@ def minhash_lsh_pairs(
         "bucket",
         *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(n_hashes)],
     )
-    cand = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            *[F.col(f"a_{s}") for s in range(n_hashes)],
-            *[F.col(f"b_{s}") for s in range(n_hashes)],
-        )
-        .distinct()
+    cand = left.join(right, on=["band", "bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    ).select(
+        "id_a",
+        "id_b",
+        *[F.col(f"a_{s}") for s in range(n_hashes)],
+        *[F.col(f"b_{s}") for s in range(n_hashes)],
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     n_eq: Column = sum(
         F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
         for s in range(n_hashes)
