@@ -82,10 +82,20 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     test_sh = grams.filter(F.col("doc_id") >= DOC_OFFSET)
-    train_g = grams.filter(F.col("doc_id") < DOC_OFFSET).select("g").distinct()
+    # Scale shape: the TRAINING gram stream is never shuffled — it probes
+    # the broadcast eval-gram set map-side (left_semi), and only the
+    # matches (bounded by |eval grams|) reach a distinct.  A train-side
+    # distinct-first would shuffle the full 100 TB gram set.
+    test_g = test_sh.select("g").distinct()
+    train_matched = (
+        grams.filter(F.col("doc_id") < DOC_OFFSET)
+        .select("g")
+        .join(F.broadcast(test_g), on="g", how="left_semi")
+        .distinct()
+    )
     totals = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
-        train_g.join(F.broadcast(test_sh), on="g")
+        test_sh.join(F.broadcast(train_matched), on="g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
