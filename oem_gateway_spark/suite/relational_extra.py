@@ -199,3 +199,53 @@ def q_time_series_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("timestamp").alias("day"),
         F.coalesce("n", F.lit(0)).alias("n"),
     )
+
+
+@query(
+    "q_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 6) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median / quartiles) —
+    the full-sort-per-group aggregate whose approximate twin is
+    u_approx_percentile; both engines use the same linear interpolation,
+    so values match to round(6).  At scale prefer the t-digest/approx
+    path; exact percentile forces a per-group sort of all values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75_price"),
+        F.count("*").alias("n"),
+    )
+
+
+_LATERAL_BODY = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t{on}
+WHERE c.c_custkey % 10 = 0
+"""
+
+
+@query("q_lateral_topk", oracle=_LATERAL_BODY.format(on=" ON TRUE"))
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer): the
+    for-each-row join SQL users reach for before learning window top-k.
+    Catalyst decorrelates the lateral into a join + per-key limit — same
+    physical ground as q_window_topk_per_group, proved here through the
+    SQL front door.  (DuckDB spells the same plan with ON TRUE.)"""
+    from oem_gateway_spark.catalog import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_BODY.format(on=""))
