@@ -20,6 +20,7 @@ from oem_gateway_spark.operators.graph import connected_components
 from oem_gateway_spark.suite.llm import (
     CORPUS_SQL,
     DOC_OFFSET,
+    _ann_oracle,
     _corpus,
     _cosine_topk_oracle,
     _lsh_pairs_oracle,
@@ -321,6 +322,55 @@ def d_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum_tokens - 1) div {SHARD_TOKEN_BUDGET}")
         .cast("int")
         .alias("shard"),
+    )
+
+
+# ------------------------------------------------------------- ANN quality
+
+
+@query(
+    "s_ann_recall",
+    oracle=f"""
+    WITH exact3 AS ({_cosine_topk_oracle(k=3)}),
+    ann3 AS ({_ann_oracle(k=3)}),
+    hits AS (
+      SELECT exact3.query_id, CAST(count(ann3.neighbor_id) AS BIGINT) AS n_hit
+      FROM exact3 LEFT JOIN ann3 USING (query_id, neighbor_id)
+      GROUP BY exact3.query_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           round(sum(n_hit) / (3.0 * count(*)), 6) AS recall3
+    FROM hits
+    """,
+)
+def s_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH ANN path against the exact brute-force top-3 —
+    the engine auditing its own approximation (the number a user needs
+    before trusting bucketed ANN at scale).  Both operators compose into
+    one plan; the intersection joins on (query, neighbor) ids only, so the
+    audit's cost is the two top-k's, not a new pairwise pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact3 = S.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ann3 = S.lsh_ann_topk(emb, queries, k=3).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        exact3.join(
+            ann3,
+            (exact3["query_id"] == ann3["query_id"])
+            & (exact3["neighbor_id"] == ann3["ann_neighbor"]),
+            "left",
+        )
+        .groupBy(exact3["query_id"])
+        .agg(F.count("ann_neighbor").alias("n_hit"))
+    )
+    return hits.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hit").alias("total_hits"),
+        F.round(F.sum("n_hit") / (3.0 * F.count("*")), 6).alias("recall3"),
     )
 
 
