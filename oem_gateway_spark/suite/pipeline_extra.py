@@ -94,17 +94,16 @@ def d_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(test_g), on="g", how="left_semi")
         .distinct()
     )
-    totals = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = (
-        test_sh.join(F.broadcast(train_matched), on="g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+    # Totals and hits in ONE aggregation pass: left-join the (small)
+    # matched-gram set onto the eval grams and count rows vs non-null
+    # flags — no second agg, no re-join of the two aggregates.
+    flagged = test_sh.join(
+        F.broadcast(train_matched.withColumn("_hit", F.lit(1))), on="g", how="left"
     )
-    out = totals.join(hits, on="doc_id", how="left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+    out = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+        (F.count("_hit") > 0).alias("contaminated"),
     )
     return _own_cache(out, grams)
 
