@@ -444,3 +444,37 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def exact_dedup_increment(
+    new_df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: survivors among ``new_df`` given the
+    fingerprint store of everything already ingested (``seen``: one
+    ``content_hash`` column) — the daily-ingest pattern at 100 TB, where
+    re-deduplicating the full corpus per batch is a non-starter.
+
+    Two steps, both linear in the BATCH (the store is only probed):
+    keep-first within the batch (row_number window over the fingerprint),
+    then anti-join the store on the hash.  Appending
+    ``survivors.select(content_hash)`` to the store afterwards keeps the
+    invariant; at scale the store lives as a table bucketed by
+    content_hash so the anti-join co-locates without a shuffle.
+
+    Returns the surviving rows plus their ``content_hash`` (so callers
+    can append it to the store without recomputing)."""
+    from pyspark.sql.window import Window
+
+    keep_first = Window.partitionBy("content_hash").orderBy(id_col)
+    batch_first = (
+        new_df.withColumn("content_hash", T.fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(keep_first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return batch_first.join(
+        seen.select("content_hash"), on="content_hash", how="left_anti"
+    )
