@@ -60,9 +60,13 @@ _DRIVER_WINDOW = [
     # -- driver-witnessed only in r01 --
     "s_ivf_ann_topk",
     # -- new or implementation-changed this round --
+    "q_exact_percentiles",
+    "q_lateral_topk",
+    "s_ann_recall",
     "d_simhash_hamming_k",
     "s_ivf_nprobe",
-    "d_simhash",
+    # d_simhash itself rotates out: its signature column feeds (and is thus
+    # transitively checked by) d_simhash_pairs + d_simhash_hamming_k below.
     "d_simhash_pairs",
     "q_stratified_sample",
     "q_time_series_gap_fill",
@@ -77,14 +81,17 @@ _DRIVER_WINDOW = [
     # -- gateway parity (reference operators) --
     "g_parse_serial",
     "g_rfm2pi_decode",
-    "g_reject_stats",
+    # g_reject_stats rotates out this round: impl unchanged since its r01+r02
+    # green rows, and its classify path is exercised by g_parse_serial and
+    # g_rfm2pi_dead_letter above.
     "g_rfm2pi_parity_reject",
     "g_rfm2pi_dead_letter",
     "g_bulk_encode",
     # -- representative slice: impl changed this round (md5-slice minhash,
-    # window-shape survivors) so these must be re-witnessed --
+    # window-shape survivors) so these must be re-witnessed.  The raw
+    # d_minhash_signature rotates out: d_minhash_lsh_pairs consumes the same
+    # signature columns end-to-end --
     "d_exact_dedup_survivors",
-    "d_minhash_signature",
     "d_minhash_lsh_pairs",
 ]
 
