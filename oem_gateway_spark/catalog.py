@@ -49,13 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # TIMESTAMP(NANOS) arrives as long (nanosAsLong); values are exact
-        # microseconds, so this conversion is lossless.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        df = normalize_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (TIMESTAMP_LTZ)
+    regardless of how the parquet file encodes it.  The testdata generator
+    has shipped it as TIMESTAMP(NANOS) (read as long under nanosAsLong) and
+    as TIMESTAMP(isAdjustedToUTC=false) (read as TIMESTAMP_NTZ); event-time
+    operators (withWatermark, unix_millis) require plain TIMESTAMP.  The
+    session timezone is pinned UTC (session.py), so the NTZ->LTZ cast is
+    deterministic and matches DuckDB's epoch_ms on the same file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # nanos-as-long; values are exact microseconds, conversion lossless.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(TimestampType()))
     return df
 
 

@@ -92,7 +92,7 @@ def node_running_stats(
     key_col: str = "node",
     value_col: str = "value",
     ts_col: str = "ingest_ts",
-    timeout_minutes: int = 60,
+    timeout_minutes: int | None = 60,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState (the
     flatMapGroupsWithState equivalent): per-node lifetime counters the
@@ -102,6 +102,12 @@ def node_running_stats(
     State is one small tuple per node (bounded: node ids are a finite
     device population); a processing-time timeout expires nodes silent for
     ``timeout_minutes`` (state-store hygiene at scale).
+
+    ``timeout_minutes=None`` disables the timeout (NoTimeout).  Required
+    for bounded availableNow replays: with ProcessingTimeTimeout the
+    operator's shouldRunAnotherBatch keeps scheduling no-data batches to
+    fire pending timeouts, so the trigger never terminates.  Live
+    pipelines (continuous triggers) keep the default.
     """
     from collections.abc import Iterator
 
@@ -143,9 +149,13 @@ def node_running_stats(
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
-            last = max(last, int(pdf[ts_col].astype("int64").max() // 1_000_000))
+            # Explicit ns cast first: Arrow may deliver datetime64[us] or
+            # [ns] depending on version; int64-of-ns // 1e6 is always ms.
+            ts_ns = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64")
+            last = max(last, int(ts_ns.max() // 1_000_000))
         state.update((n, total, last))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "node": [node],
@@ -167,7 +177,11 @@ def node_running_stats(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -96,6 +96,39 @@ def d_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.length("text").cast("int").alias("n_chars"))
 
 
+@query(
+    "d_exact_dedup_increment",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    hashed AS (SELECT doc_id, text, {T.fingerprint_sql('text')} AS content_hash
+               FROM corpus),
+    store AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM hashed WHERE doc_id % 5 = 0),
+    first AS (SELECT content_hash, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+    SELECT b.doc_id, b.content_hash, CAST(length(b.text) AS INT) AS n_chars
+    FROM batch b JOIN first USING (content_hash, doc_id)
+    WHERE b.content_hash NOT IN (SELECT content_hash FROM store)
+    """,
+)
+def d_exact_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup, driver-witnessed (VERDICT r3 gap #4): the
+    corpus split deterministically into an already-ingested fingerprint
+    store (doc_id % 5 != 0) and today's batch (doc_id % 5 == 0); survivors
+    are batch keep-first minus store hits (operators/dedup.py:449 — linear
+    in the batch, store probed via anti-join)."""
+    corpus = _corpus(spark, sf_dir)
+    batch = corpus.filter(F.col("doc_id") % 5 == 0)
+    seen = (
+        corpus.filter(F.col("doc_id") % 5 != 0)
+        .select(T.fingerprint(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    out = D.exact_dedup_increment(batch, seen)
+    return out.select(
+        "doc_id", "content_hash", F.length("text").cast("int").alias("n_chars")
+    )
+
+
 def _minhash_oracle(n_hashes: int = 8) -> str:
     w = H.words_sql("text")
     sh = H.shingles_sql("w", 3)

@@ -171,15 +171,40 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct", oracle=None)  # HLL sketch: no exact SQL twin
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_ok, TRUE AS supps_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=0.01): the 100 TB scale
     path for distinct counting — fixed-size sketch, single shuffle of
-    sketches not keys.  Driver records rows-only (sketch != exact oracle)."""
+    sketches not keys.
+
+    Oracle strategy (VERDICT r3 #6): the sketch value itself is engine-
+    dependent, so the query emits the EXACT count plus a deterministic
+    within-5%-of-exact boolean for the sketch; the oracle emits the exact
+    count and literal TRUE.  Hash-green iff HLL++ holds its error bound
+    (rsd=0.01 << 0.05, also pinned by test_sketch_error_bounds)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asu"),
+    )
+    ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e) < 0.05)  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        ok("ap", "exact_parts").alias("parts_ok"),
+        ok("asu", "exact_supps").alias("supps_ok"),
     )
 
 

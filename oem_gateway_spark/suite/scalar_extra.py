@@ -16,7 +16,7 @@ from oem_gateway_spark.suite.registry import query
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(json_keys(props), ',') AS prop_keys,
            CAST(len(json_keys(props)) AS INT) AS n_keys,
            CAST(props->>'$.k' AS INTEGER) AS k_value
     FROM events
@@ -25,12 +25,14 @@ from oem_gateway_spark.suite.registry import query
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed columns: JSON payload -> map<string,int>, then
     map_keys/size/element access (the schemaless props schematized as a
-    map rather than a fixed struct)."""
+    map rather than a fixed struct).  prop_keys is serialized to CSV on
+    both sides: the driver's canonicalizer sorts output columns and raw
+    array cells are unhashable there (VERDICT r3 #3)."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", MapType(StringType(), IntegerType()))
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
     )
