@@ -29,12 +29,17 @@ HEADLINE = [
     "w_session",
     # LLM ops
     "d_exact_dedup_survivors",
+    "d_exact_dedup_increment",
     "d_minhash_lsh_pairs",
     "d_contamination",
     "d_dup_clusters",
     "d_simhash_pairs",
     "d_simhash_hamming_k",
     "t_text_stats",
+    "t_repetition",
+    "t_boilerplate_ngrams",
+    "t_pii_scrub",
+    "t_gopher_quality",
     "s_cosine_topk",
     "s_ann_lsh_topk",
     "s_ivf_ann_topk",

@@ -33,12 +33,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  The conf
-    is runtime-settable, and callers (the correctness driver in particular)
-    may hand us a bare SparkSession that never went through
-    ``session.get_spark`` — so assert it here, immediately before any read
-    that could touch events."""
+    """Older testdata generations stored events.ts as TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (current generations
+    use TIMESTAMP_NTZ and don't need it — kept for backward compat; see
+    :func:`normalize_event_ts`).  The conf is runtime-settable, and callers
+    (the correctness driver in particular) may hand us a bare SparkSession
+    that never went through ``session.get_spark`` — so assert it here,
+    immediately before any read that could touch events."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 

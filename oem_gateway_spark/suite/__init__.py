@@ -24,6 +24,7 @@ from oem_gateway_spark.suite import scalar_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import relational_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import udtf_cogroup  # noqa: F401,E402
 from oem_gateway_spark.suite import pipeline_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import text_extra  # noqa: F401,E402
 
 # First-50 driver window (see module docstring).  Round-4 order (VERDICT r3
 # #5/#10): never-witnessed queries first, then the 8 queries the r3 NTZ shift
@@ -35,6 +36,10 @@ _DRIVER_WINDOW = [
     "q_unpivot",                # missed every prior window (VERDICT r3 #5)
     "d_exact_dedup_increment",  # new: incremental dedup driver row (r3 #7)
     "stream_running_stats",     # new: stateful-family driver row (r3 #7)
+    "t_repetition",             # new this round (text_extra.py)
+    "t_boilerplate_ngrams",     # new this round
+    "t_pii_scrub",              # new this round
+    "t_gopher_quality",         # new this round
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -51,10 +56,13 @@ _DRIVER_WINDOW = [
     "u_approx_percentile",  # tolerance oracle replaces rows-only (r3 #6)
     "w_sliding",            # oracle CAST fix (schema mismatch, r3 #4)
     # -- stale rotation: last witnessed r2, unchanged since; re-witness now.
-    # Deferred to r5 (transitively checked by r3-green consumers):
-    # d_minhash_signature, d_simhash (their *_pairs queries), q_dedup_keep_first
-    # (d_exact_dedup_survivors shares the keep-first path), q_setops
-    # (q_setops_multiset).
+    # Deferred to r5 (all r2-green and either transitively checked by
+    # r3/r4-green consumers or pure scalar layers with no moving parts):
+    # d_minhash_signature, d_simhash (their *_pairs queries),
+    # q_dedup_keep_first (d_exact_dedup_survivors shares the keep-first
+    # path), q_setops (q_setops_multiset), t_fingerprint (fingerprint path
+    # is d_exact_dedup_*'s), q_math_funcs, q_string_funcs, q_date_funcs
+    # (scalar layers over part/orders/lineitem, unchanged).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -62,19 +70,16 @@ _DRIVER_WINDOW = [
     "q_array_funcs",
     "q_cross_join_pairs",
     "q_cube",
-    "q_date_funcs",
     "q_distinct_agg",
     "q_global_topk",
     "q_grouping_sets",
     "q_json_funcs",
-    "q_math_funcs",
     "q_outer_join_coalesce",
     "q_pivot_conditional",
     "q_range_join",
     "q_rollup",
     "q_semi_join",
     "q_stats_agg",
-    "q_string_funcs",
     "q_window_rank_ntile",
     "q_window_running_sum",
     "q_window_topk_per_group",
@@ -86,7 +91,6 @@ _DRIVER_WINDOW = [
     "s_ann_lsh_topk",
     "s_cosine_topk",
     "s_embedding_neardup",
-    "t_fingerprint",
     "t_langid",
     "t_text_stats",
 ]

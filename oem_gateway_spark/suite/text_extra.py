@@ -1,0 +1,216 @@
+"""Corpus-analysis extras for training-data pipelines: intra-document
+repetition, corpus-wide boilerplate n-grams, PII scrubbing, and
+Gopher-style word-level quality rules.
+
+These are the remaining hygiene passes a pre-training pipeline runs after
+dedup/quality gating (repetitious docs and boilerplate n-grams are the
+classic web-scrape failure modes; PII scrubbing is a compliance pass).
+All rules are JVM built-in expressions with DuckDB twins built from the
+same constants (functions/text.py conventions); per-doc ops are pure map
+work, corpus ops are explode + partial-agg shuffles keyed well below the
+doc count — both shapes hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.suite.registry import query
+
+# Deterministic PII injection: the synthetic corpus has no emails/phones, so
+# both engines append the SAME fake PII to a doc_id-selected subset; the
+# scrub operator is then measurably non-trivial.
+PII_EMAIL = " contact alice.smith@example-site.org for details"
+PII_PHONE = " or call 555-0142 9am-5pm"
+EMAIL_REGEX = "[a-z0-9.-]+@[a-z0-9.-]+"
+PHONE_REGEX = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "t_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {H.words_sql('text')} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest({H.shingles_sql('w', 2)}) AS g FROM toks
+    ), counts AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS BIGINT) AS top_count,
+           round(max(c) / sum(c), 6) AS top_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of a doc's word bigrams
+    taken by its single most frequent bigram (near 1.0 = degenerate
+    repetitious text, a standard pre-training removal rule).
+
+    Shape: explode bigrams -> two-level agg keyed by (doc_id, gram) then
+    doc_id — partial aggregation combines map-side, and the key space is
+    bounded by the corpus token count, so this is a linear one-pass scan
+    at any scale (no per-doc sorted materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(H.shingles(H.words(F.col("text")), 2)).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ratio"),
+    )
+
+
+@query(
+    "t_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {H.words_sql('text')} AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, unnest({H.shingles_sql('w', 8)}) AS g FROM toks
+    ), freq AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM grams GROUP BY g
+      HAVING count(*) >= 3
+    )
+    SELECT g, n_docs FROM freq ORDER BY n_docs DESC, g LIMIT 20
+    """,
+)
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection: 8-grams appearing in >= 3
+    DISTINCT documents, top-20 by document frequency (ties broken by gram
+    text for determinism).  This is the n-gram side of boilerplate
+    removal — headers/footers/licenses shared across scraped pages.
+
+    Shape: explode -> per-doc distinct -> gram-count agg.  The distinct
+    and the count both combine partially map-side; the final top-20 is a
+    TakeOrdered (no global sort materialization).  Contrast with
+    d_contamination, which probes a specific benchmark set instead of
+    ranking the whole corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(H.shingles(H.words(F.col("text")), 8)).alias("g"),
+        )
+        .distinct()
+    )
+    freq = (
+        grams.groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )
+    return freq.orderBy(F.desc("n_docs"), F.asc("g")).limit(20)
+
+
+@query(
+    "t_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0 THEN '{PII_EMAIL}' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN '{PII_PHONE}' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_REGEX}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_REGEX}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_REGEX}', '<EMAIL>', 'g'),
+                              '{PHONE_REGEX}', '<PHONE>', 'g')) AS scrub_fp
+    FROM injected
+    """,
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone patterns, emitting
+    the md5 of the scrubbed text (so the oracle verifies the exact
+    redacted bytes, not just the counts).  The synthetic corpus carries no
+    PII, so both engines first inject identical fake PII into a
+    deterministic doc_id subset.
+
+    Pure map operator — regex count + replace fuse into the scan's
+    codegen stage; at 100 TB this pipelines with ingest at IO speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(PII_EMAIL)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(PII_PHONE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_REGEX, "<EMAIL>"),
+        PHONE_REGEX,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_REGEX), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_REGEX), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+@query(
+    "t_gopher_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {H.words_sql('text')} AS w, text FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                   / len(w), 4) AS mean_word_len,
+             CAST(list_aggregate(list_transform(w, x -> length(x)), 'max')
+                  AS INT) AS max_word_len,
+             round(len(list_filter(w, x -> regexp_full_match(x, '[0-9]+')))
+                   / len(w), 6) AS digit_frac
+      FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, max_word_len, digit_frac,
+           (n_words >= 20 AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND digit_frac <= 0.2) AS passes
+    FROM stats
+    """,
+)
+def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-level quality rules (mean/max word length in
+    range, bounded digit-token fraction, minimum length) with a combined
+    pass flag — the repetition and line rules live in t_repetition /
+    t_quality_score.  Pure map work over the token array: no shuffle,
+    fuses with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = H.words(F.col("text"))
+    lens = F.transform(w, lambda x: F.length(x))
+    stats = docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_words"),
+        F.round(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x) / F.size(w), 4
+        ).alias("mean_word_len"),
+        F.array_max(lens).cast("int").alias("max_word_len"),
+        F.round(
+            F.size(F.filter(w, lambda x: x.rlike("^[0-9]+$"))) / F.size(w), 6
+        ).alias("digit_frac"),
+    )
+    return stats.select(
+        "*",
+        (
+            (F.col("n_words") >= 20)
+            & (F.col("mean_word_len") >= 3)
+            & (F.col("mean_word_len") <= 10)
+            & (F.col("digit_frac") <= 0.2)
+        ).alias("passes"),
+    )

@@ -35,6 +35,9 @@ PROBES = [
     "d_dup_clusters",           # iterative connected components
     "d_contamination",          # broadcast gram join
     "s_ann_lsh_topk",           # bucketed ANN
+    "d_exact_dedup_increment",  # batch keep-first + store anti-join
+    "t_repetition",             # bigram explode + two-level agg
+    "t_boilerplate_ngrams",     # 8-gram explode + distinct + TakeOrdered
 ]
 
 
