@@ -205,3 +205,44 @@ def test_knn_classify_single_exchange(spark):
     df = REGISTRY["s_knn_classify"].fn(spark, SF)
     assert has_broadcast_join(df), explain_str(df)
     assert num_exchanges(df) == 1, explain_str(df)
+
+
+def test_repetition_zero_shuffle_beyond_spread(spark):
+    """t_repetition's mode-bigram fold is per-row work: the ONLY exchange
+    in the plan is the documented single-split spread repartition (absent
+    at scale where file splits supply parallelism)."""
+    df = REGISTRY["t_repetition"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 1, text  # the spread only
+    assert "RoundRobinPartitioning" in text, text  # ...and it IS the spread
+    assert "HashAggregate" not in text, text  # no agg shuffle anywhere
+
+
+def test_boilerplate_single_agg_exchange_takeordered(spark):
+    """t_boilerplate_ngrams: per-doc array_distinct keeps the (doc_id, gram)
+    DISTINCT out of the plan — one hash-agg exchange plus the spread, and
+    the top-20 is a TakeOrdered, not a global sort."""
+    df = REGISTRY["t_boilerplate_ngrams"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 2, text  # spread + gram-count agg
+    assert "TakeOrderedAndProject" in text, text
+
+
+def test_pii_scrub_map_only(spark):
+    """t_pii_scrub is a pure map operator (regex count + redact): nothing
+    but the spread exchange in the plan."""
+    df = REGISTRY["t_pii_scrub"].fn(spark, SF)
+    assert num_exchanges(df) == 1, explain_str(df)
+
+
+def test_gopher_quality_map_only(spark):
+    df = REGISTRY["t_gopher_quality"].fn(spark, SF)
+    assert num_exchanges(df) == 1, explain_str(df)
+
+
+def test_dedup_increment_anti_join_shape(spark):
+    """d_exact_dedup_increment: batch keep-first window + left-anti store
+    probe — no full-corpus re-dedup anywhere in the plan."""
+    df = REGISTRY["d_exact_dedup_increment"].fn(spark, SF)
+    text = explain_str(df)
+    assert "LeftAnti" in text, text
