@@ -22,7 +22,11 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from oem_gateway_spark.catalog import load_table
+    from oem_gateway_spark.session import ensure_runtime_conf
 
+    # The driver may hand us a bare session; pin UTC + runtime conf so the
+    # events ts normalization (catalog.normalize_event_ts) is deterministic.
+    ensure_runtime_conf(spark)
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))

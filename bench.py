@@ -81,6 +81,21 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # The headline list grows as operators land; this subtotal covers the
+    # 17 queries BENCH_r02 timed, so round-over-round wall comparison stays
+    # apples-to-apples as new ops join the wall.
+    R2_COMPARABLE = {
+        "g_parse_serial", "g_rfm2pi_decode", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q_window_running_sum", "q_sessionize", "q_range_join",
+        "w_tumbling", "w_session", "d_exact_dedup_survivors",
+        "d_minhash_lsh_pairs", "t_text_stats", "s_cosine_topk",
+        "s_ann_lsh_topk", "s_ivf_ann_topk", "pipeline_data_prep",
+    }
+    r2_wall = round(
+        sum(t for q, t in timings.items() if q in R2_COMPARABLE), 3
+    )
+
     # Headline throughput vs the reference: frames parsed per second
     # through the full serial classify+parse+explode chain.  The reference
     # gateway caps at ~5 frames/s/listener (BASELINE.md: one read() per
@@ -97,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r2_comparable_wall": r2_wall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "parse_frames_per_sec": frames_per_sec,
                 "reference_frames_per_sec": 5.0,

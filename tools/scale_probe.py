@@ -29,15 +29,15 @@ SCRATCH = "/root/repo/.scratch/scale"
 # COULD go quadratic, plus one map-only baseline.
 PROBES = [
     "t_text_stats",            # map-only baseline (must be ~1.0)
+    "s_ann_lsh_topk",           # bucketed ANN (before the checkpoint-heavy ops)
     "d_exact_dedup_survivors",  # hash shuffle + window
+    "d_exact_dedup_increment",  # batch keep-first + store anti-join
+    "t_repetition",             # per-row run-length fold (map-only)
+    "t_boilerplate_ngrams",     # 8-gram explode + partial-agg + TakeOrdered
     "d_minhash_lsh_pairs",      # banded LSH self-join
     "d_simhash_hamming_k",      # banded SimHash self-join
-    "d_dup_clusters",           # iterative connected components
     "d_contamination",          # broadcast gram join
-    "s_ann_lsh_topk",           # bucketed ANN
-    "d_exact_dedup_increment",  # batch keep-first + store anti-join
-    "t_repetition",             # bigram explode + two-level agg
-    "t_boilerplate_ngrams",     # 8-gram explode + distinct + TakeOrdered
+    "d_dup_clusters",           # iterative connected components (checkpoints)
 ]
 
 
@@ -72,9 +72,19 @@ def _build_scaled(spark, sf_dir: str, factor: int) -> str:
                 "n_chars",
             )
         )
+        # Replica vec_ids are mapped off the %100==0 lattice (x*100+1):
+        # the ANN queries() pick vec_id % 100 == 0, so preserving residues
+        # would grow the QUERY set k-fold alongside the corpus and the
+        # probe would measure a k^2 workload (k queries x k bucket size),
+        # not corpus scaling.  With replicas off-lattice the query set
+        # stays the x1 set and the exponent isolates corpus cost.
         e_parts.append(
             emb.select(
-                (F.col("vec_id") + k * n_vecs).alias("vec_id"),
+                (
+                    F.col("vec_id")
+                    if k == 0
+                    else (F.col("vec_id") + k * n_vecs) * 100 + 1
+                ).alias("vec_id"),
                 (
                     F.col("embedding")
                     if k == 0
@@ -136,6 +146,11 @@ def main() -> None:
                 cur = timings[name].get(f)
                 timings[name][f] = dt if cur is None else min(cur, dt)
                 release_caches(df)
+                # Drop every cached/checkpointed block before the next op:
+                # at x16 the connected-components localCheckpoints otherwise
+                # leave enough executor memory pressure to inflate whatever
+                # runs after them by 2-3x (measured on s_ann_lsh_topk).
+                spark.catalog.clearCache()
         print(f"x{f} done", {p: round(timings[p][f], 2) for p in PROBES},
               flush=True)
 
