@@ -207,6 +207,111 @@ def stream_stream_interval_join(
     return lw.alias("l").join(rw.alias("r"), cond)
 
 
+def counter_deltas(
+    stream: DataFrame,
+    key_col: str = "node",
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Counter-to-rate conversion on the protobuf-free stateful API
+    (applyInPandasWithState): per key, every row emits its value delta vs
+    the previous row — cumulative meter readings become per-interval
+    consumption (the reference's energy-counter domain).  The first row
+    ever seen per key emits NULL.
+
+    Semantics twin of :func:`node_counter_deltas` (transformWithState,
+    blocked by the missing protobuf runtime — see its docstring).  Rows
+    sort by (ts_ms, id) within a batch for a deterministic delta chain;
+    state carries the max-(ts_ms, id) row per key so deltas stay correct
+    across micro-batch boundaries.  State is one tuple per key (bounded
+    by the device population).  ``timeout_minutes=None`` (NoTimeout) for
+    bounded availableNow replays — see :func:`node_running_stats`.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("value", DoubleType()),
+            StructField("delta", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_value", DoubleType()), StructField("last_ts", LongType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        # selectExpr below normalizes column names before the state op,
+        # so the canonical names are always in scope here.
+        pdf = pdf.sort_values(
+            ["ts_ms", "event_id"], kind="stable", ignore_index=True
+        )
+        values = pdf["value"].astype(float)
+        deltas = values.diff()
+        if state.exists:
+            deltas.iloc[0] = values.iloc[0] - state.get[0]
+        state.update((float(values.iloc[-1]), int(pdf["ts_ms"].iloc[-1])))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        # NaN (the very first row per key) must reach Spark as NULL, not
+        # the double NaN — object dtype keeps None through Arrow.
+        out_delta = deltas.astype(object).where(deltas.notna(), None)
+        yield pd.DataFrame(
+            {
+                "node": node,
+                "event_id": pdf["event_id"],
+                "ts_ms": pdf["ts_ms"],
+                "value": values,
+                "delta": out_delta,
+            }
+        )
+
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"CAST({id_col} AS LONG) AS event_id",
+            f"CAST({ts_ms_col} AS LONG) AS ts_ms",
+            f"CAST({value_col} AS DOUBLE) AS value",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+
+
 def node_counter_deltas(
     stream: DataFrame,
     key_col: str = "node",

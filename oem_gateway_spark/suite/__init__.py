@@ -40,6 +40,7 @@ _DRIVER_WINDOW = [
     "t_boilerplate_ngrams",     # new this round
     "t_pii_scrub",              # new this round
     "t_gopher_quality",         # new this round
+    "stream_counter_deltas",    # new: counter-to-rate driver row (r3 #7)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -61,8 +62,8 @@ _DRIVER_WINDOW = [
     # d_minhash_signature, d_simhash (their *_pairs queries),
     # q_dedup_keep_first (d_exact_dedup_survivors shares the keep-first
     # path), q_setops (q_setops_multiset), t_fingerprint (fingerprint path
-    # is d_exact_dedup_*'s), q_math_funcs, q_string_funcs, q_date_funcs
-    # (scalar layers over part/orders/lineitem, unchanged).
+    # is d_exact_dedup_*'s), q_math_funcs, q_string_funcs, q_date_funcs,
+    # q_stats_agg (scalar layers over part/orders/lineitem, unchanged).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -79,7 +80,6 @@ _DRIVER_WINDOW = [
     "q_range_join",
     "q_rollup",
     "q_semi_join",
-    "q_stats_agg",
     "q_window_rank_ntile",
     "q_window_running_sum",
     "q_window_topk_per_group",

@@ -409,3 +409,50 @@ def test_transform_with_state_counter_deltas(spark, scratch):
     assert got[(10, 3000)] == 7.0  # state carried across the batch boundary
     assert got[(11, 1500)] is None
     assert got[(11, 2500)] == 0.5
+
+
+def test_counter_deltas_across_batches(spark, scratch):
+    """Counter-to-rate (applyInPandasWithState, per-row emission): the
+    delta chain continues across micro-batch boundaries — batch 2's first
+    delta references batch 1's last value, and only the first row ever
+    per node is NULL."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.streaming.state import counter_deltas
+
+    inp = os.path.join(scratch, "in")
+    os.makedirs(inp)
+    # node 10: cumulative meter 100 -> 103 -> 110; node 11: 50 -> 57
+    with open(os.path.join(inp, "b1.txt"), "w") as f:
+        f.write("10,1,1000,100.0\n10,2,2000,103.0\n11,3,1500,50.0\n")
+    with open(os.path.join(inp, "b2.txt"), "w") as f:
+        f.write("10,4,3000,110.0\n11,5,2500,57.0\n")
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(inp)
+    parts = F.split("value", ",")
+    parsed = raw.select(
+        parts[0].cast("int").alias("node"),
+        parts[1].cast("long").alias("event_id"),
+        parts[2].cast("long").alias("ts_ms"),
+        parts[3].cast("double").alias("value"),
+    )
+    # ProcessingTimeTimeout exercised here (continuous-pipeline default);
+    # availableNow still terminates because maxFilesPerTrigger makes the
+    # data batches finite and the final no-data batch fires before the
+    # 60-min timeout horizon has work to do.
+    out = counter_deltas(parsed, timeout_minutes=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deltas_test")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["event_id"]: r["delta"] for r in spark.table("deltas_test").collect()}
+    assert rows[1] is None          # first ever for node 10
+    assert rows[2] == 3.0
+    assert rows[3] is None          # first ever for node 11
+    assert rows[4] == 7.0           # crosses the batch boundary (110-103)
+    assert rows[5] == 7.0           # crosses the batch boundary (57-50)
