@@ -41,6 +41,7 @@ _DRIVER_WINDOW = [
     "t_pii_scrub",              # new this round
     "t_gopher_quality",         # new this round
     "stream_counter_deltas",    # new: counter-to-rate driver row (r3 #7)
+    "stream_sliding",           # new: completes the streaming window family
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -63,13 +64,14 @@ _DRIVER_WINDOW = [
     # q_dedup_keep_first (d_exact_dedup_survivors shares the keep-first
     # path), q_setops (q_setops_multiset), t_fingerprint (fingerprint path
     # is d_exact_dedup_*'s), q_math_funcs, q_string_funcs, q_date_funcs,
-    # q_stats_agg (scalar layers over part/orders/lineitem, unchanged).
+    # q_stats_agg (scalar layers over part/orders/lineitem, unchanged),
+    # q_cross_join_pairs (theta-join composite; q_range_join in-window
+    # exercises the same conditional-join machinery).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_anti_join",
     "q_array_funcs",
-    "q_cross_join_pairs",
     "q_cube",
     "q_distinct_agg",
     "q_global_topk",

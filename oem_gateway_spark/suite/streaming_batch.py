@@ -154,6 +154,24 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(result, mode="complete")
 
 
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT CAST(to_timestamp((epoch_ms(ts) // 1800000 - k) * 1800) AS TIMESTAMP) AS win_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sliding windows (1h/30min, Expand + watermarked agg)
+    — completes the streaming window family (tumbling/sliding/session all
+    have genuinely-streaming executions vs the same batch oracles)."""
+    stream = _events_stream(spark, sf_dir)
+    result = ST.sliding_counts(stream)
+    return _run_to_table(result, mode="complete")
+
+
 @query("stream_session", oracle=SESSION_ORACLE)
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming session windows (merging session state) — equals the
