@@ -40,6 +40,10 @@ HEADLINE = [
     "t_boilerplate_ngrams",
     "t_pii_scrub",
     "t_gopher_quality",
+    "t_chunking",
+    "d_url_canonical",
+    "q_salted_join",
+    "q_window_time_range",
     "s_cosine_topk",
     "s_ann_lsh_topk",
     "s_ivf_ann_topk",

@@ -15,9 +15,9 @@ For SUM/COUNT (commutative, associative) the result is exactly the plain
 aggregation.  The salt here is deterministic (hash of a unique row id) so
 results are reproducible and oracle-checkable.
 
-Join-side variant (not needed for the fixture sizes, shape documented for
-100 TB): explode the small side with all n_salts values, salt the big side
-the same way, join on (key, salt).
+Join-side variant (:func:`salted_join`): explode the smaller side with all
+n_salts values, salt the bigger side by row-hash, join on (key, salt) — each
+hot key's rows spread over n_salts reducers instead of one.
 """
 
 from __future__ import annotations
@@ -67,3 +67,33 @@ def salted_sum(
             for c, agg in agg_cols.items()
         ],
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate ``small`` across all n_salts salt
+    values, salt ``big`` by a deterministic row hash, join on
+    ``(on, __salt)``.  Result row set is exactly ``big.join(small, on,
+    how)`` — each (big-row, small-row) key match meets in exactly one salt
+    bucket — but a hot key's rows land on n_salts reducers instead of one.
+
+    For when NEITHER broadcast nor AQE skew-split applies: the small side
+    exceeds the broadcast threshold but replicating it n_salts times is
+    still cheap relative to one reducer absorbing a hot key (e.g. a
+    several-GB URL-dimension against a crawl keyed 30% on one domain).
+    ``how`` supports 'inner' and 'left' (big side preserved: every big row
+    keeps its salt, so left rows without a match survive exactly once).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    )
+    return big_s.join(small_s, on=[on, "__salt"], how=how).drop("__salt")

@@ -42,6 +42,14 @@ _DRIVER_WINDOW = [
     "t_gopher_quality",         # new this round
     "stream_counter_deltas",    # new: counter-to-rate driver row (r3 #7)
     "stream_sliding",           # new: completes the streaming window family
+    "t_chunking",               # new: doc chunking with overlap
+    "d_url_canonical",          # new: URL canonicalization dedup
+    "q_salted_join",            # new: skew-safe join rewrite
+    "q_window_time_range",      # new: time-based RANGE window frame
+    "q_conditional_agg",        # new: count_if/bool/max_by aggregates
+    "q6_forecast_revenue",      # new: pure pushdown filter-aggregate
+    "q19_disjunctive_revenue",  # new: OR-of-ANDs partial pushdown
+    "stream_incremental_rollup",  # new: continuous-aggregation driver row
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -66,32 +74,32 @@ _DRIVER_WINDOW = [
     # is d_exact_dedup_*'s), q_math_funcs, q_string_funcs, q_date_funcs,
     # q_stats_agg (scalar layers over part/orders/lineitem, unchanged),
     # q_cross_join_pairs (theta-join composite; q_range_join in-window
-    # exercises the same conditional-join machinery).
+    # exercises the same conditional-join machinery), and — displaced by
+    # this round's 8 new never-witnessed queries — q_array_funcs
+    # (array HOFs exercised by r3-green q_array_predicates + similarity
+    # ops), q_cube/q_grouping_sets (share q_rollup's Expand machinery,
+    # q_rollup stays in-window), q_window_rank_ntile (rank family covered
+    # by r3-green q_window_distribution), g_fanout_union/g_reject_stats
+    # (gateway family re-witnessed r3 via g_parse_serial/g_rfm2pi_*),
+    # s_cosine_topk (exact top-k path embedded in r3-green s_ann_recall),
+    # m_multimodal_features (unchanged since its r2 green row).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_anti_join",
-    "q_array_funcs",
-    "q_cube",
     "q_distinct_agg",
     "q_global_topk",
-    "q_grouping_sets",
     "q_json_funcs",
     "q_outer_join_coalesce",
     "q_pivot_conditional",
     "q_range_join",
     "q_rollup",
     "q_semi_join",
-    "q_window_rank_ntile",
     "q_window_running_sum",
     "q_window_topk_per_group",
     "d_exact_dedup_groups",
     "d_ngram_jaccard",
-    "g_fanout_union",
-    "g_reject_stats",
-    "m_multimodal_features",
     "s_ann_lsh_topk",
-    "s_cosine_topk",
     "s_embedding_neardup",
     "t_langid",
     "t_text_stats",

@@ -231,6 +231,113 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag, 'flag-' || l_returnflag AS flag_label
+      FROM lineitem
+    )
+    SELECT flag_label,
+           round(sum(l_extendedprice), 4) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN dim USING (l_returnflag)
+    GROUP BY flag_label
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN (operators/skew.py::salted_join): lineitem
+    joined to a 3-row dimension on l_returnflag — the worst-case join-skew
+    shape (every fact row hits one of 3 keys).  The salted plan replicates
+    the dim over 16 salt values and spreads each hot key across 16
+    reducers; result rows are identical to the plain join (oracle).  Here
+    the dim would of course broadcast — the query pins the REWRITE's
+    correctness; the plan-shape test (test_plans.py) pins its partition
+    spread with broadcast disabled, which is the 100 TB case (dim too big
+    to broadcast, AQE split capped)."""
+    from oem_gateway_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag-"), F.col("l_returnflag")))
+    )
+    joined = salted_join(li, dim, on="l_returnflag", n_salts=16)
+    return joined.groupBy("flag_label").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-1-hour event count
+    and value sum — the rolling-interval aggregate (reference emoncms
+    dashboards' '1h rolling power') that ROWS frames cannot express when
+    event spacing is irregular.  Both engines frame on epoch milliseconds
+    ([t-3600000, t]), so peers and boundaries match exactly.
+
+    Shape: one shuffle on user_id (high cardinality), then a per-partition
+    sort + linear two-pointer frame scan — no self-join, no explode; at
+    100 TB this is the only shape that doesn't blow up the trailing-window
+    computation (the naive range self-join is O(rows x avg window))."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           round(arg_max(o_totalprice, o_orderkey), 4) AS price_at_max_key,
+           round(arg_min(o_totalprice, o_orderkey), 4) AS price_at_min_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / argmin-argmax aggregates: count_if,
+    bool_and/bool_or, max_by/min_by — the aggregate-function surface beyond
+    sum/avg (DuckDB twins: FILTER, bool_*, arg_max/arg_min).  max_by/min_by
+    order on the UNIQUE o_orderkey so ties cannot make the result
+    engine-dependent.  All decomposable — partial-aggregate map-side, a few
+    groups shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 4).alias("price_at_max_key"),
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 4).alias("price_at_min_key"),
+    )
+
+
 _LATERAL_BODY = """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c JOIN LATERAL (

@@ -184,6 +184,182 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chunking geometry: 50-word chunks, 40-word stride (10-word overlap) — the
+# fixed-context packing shape LLM pre-training uses.  n_chunks =
+# max(1, ceil((n_words - overlap) / stride)) covers every word; short docs
+# yield exactly one (possibly short) chunk.
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+CHUNK_OVERLAP = CHUNK_SIZE - CHUNK_STRIDE
+
+
+@query(
+    "t_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {H.words_sql('text')} AS w FROM documents
+    ), ix AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0,
+               CAST(greatest(1, ceil((len(w) - {CHUNK_OVERLAP}) / {CHUNK_STRIDE}.0))
+                    AS INT) - 1)) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(list_slice(w, chunk_id * {CHUNK_STRIDE} + 1,
+                               chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS INT)
+             AS n_tokens,
+           md5(array_to_string(
+               list_slice(w, chunk_id * {CHUNK_STRIDE} + 1,
+                          chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+             AS chunk_fp
+    FROM ix
+    """,
+)
+def t_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking with overlap: split each doc into 50-word chunks
+    on a 40-word stride (10 words shared between neighbors), emitting the
+    chunk's token count and an md5 fingerprint of its exact text (so the
+    oracle verifies chunk CONTENT, not just counts).  This is the
+    sequence-packing precursor: fixed-size training contexts cut from
+    variable-length documents without losing cross-boundary n-grams.
+
+    Shape: tokenize once per doc, explode only the chunk INDEX (a tiny int
+    array), slice the token array per index — the text itself is never
+    duplicated pre-explode, and no shuffle happens at all: chunking fuses
+    with the scan, so at 100 TB it streams through at IO speed and the
+    output can be written partitioned by shard directly."""
+    docs = _docs_spread(spark, sf_dir)
+    w = H.words(F.col("text"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(w) - F.lit(CHUNK_OVERLAP)) / F.lit(CHUNK_STRIDE)).cast("int"),
+    )
+    toks = docs.select("doc_id", w.alias("w"), n_chunks.alias("n_chunks"))
+    ix = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    chunk = F.expr(f"slice(w, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    return ix.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+# Synthetic URL grammar for d_url_canonical: the corpus has no URLs, so both
+# engines derive the SAME messy URL from (doc_id, source) — mixed-case
+# scheme/host, optional www., optional trailing slash, tracking params in
+# two positions — and must agree on the canonical form.
+_URL_TRACK_RE = "utm_[a-z]+=[^&]*"
+
+
+@query(
+    "d_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+               || source || '.Example.COM/articles/' || (doc_id % 37)
+               || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&id=' || (doc_id % 97)
+                       WHEN doc_id % 7 = 0
+                       THEN '?id=' || (doc_id % 97) || '&utm_campaign=x'
+                       ELSE '' END
+               AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*'))
+                                    || substr(url, length(regexp_extract(url, '^[A-Za-z]+://[^/]*')) + 1),
+                     '^(https?://)www\\.', '\\1'),
+                   '{_URL_TRACK_RE}', '', 'g'),
+                 '\\?&', '?'),
+               '&$', ''), '/\\?', '?') AS c0
+      FROM raw
+    ), cleaned AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(c0, '\\?$', ''), '/$', '') AS canonical_url
+      FROM canon
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM cleaned GROUP BY canonical_url
+    """,
+)
+def d_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-side twin of content dedup:
+    scheme/host lowercased, ``www.`` stripped, tracking params
+    (``utm_*``) removed, dangling ``?``/``&`` and trailing slash dropped;
+    docs then grouped by canonical URL (keep-first representative =
+    min doc_id).  The corpus ships no URLs, so both engines synthesize the
+    same messy URL per doc first (grammar above) — the operator under test
+    is the canonicalizer.
+
+    Shape: pure map (regex chain fuses with the scan) + one hash
+    aggregation on the canonical key.  At 100 TB URL-level dedup runs
+    BEFORE content dedup because it needs no text shuffle at all — only
+    the (short) canonical URL column ever reaches an exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".Example.COM/articles/"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&id="), (F.col("doc_id") % 97).cast("string")
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit("?id="),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit("&utm_campaign=x"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    prefix = F.regexp_extract(F.col("url"), "^[A-Za-z]+://[^/]*", 0)
+    rejoined = F.concat(
+        F.lower(prefix), F.expr("substring(url, length(regexp_extract(url, '^[A-Za-z]+://[^/]*', 0)) + 1)")
+    )
+    c = F.regexp_replace(rejoined, r"^(https?://)www\.", "$1")
+    c = F.regexp_replace(c, _URL_TRACK_RE, "")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, "&$", "")
+    c = F.regexp_replace(c, r"/\?", "?")
+    c = F.regexp_replace(c, r"\?$", "")
+    c = F.regexp_replace(c, "/$", "")
+    return (
+        raw.select("doc_id", "url", c.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
 @query(
     "t_gopher_quality",
     oracle=f"""

@@ -246,3 +246,93 @@ def test_dedup_increment_anti_join_shape(spark):
     df = REGISTRY["d_exact_dedup_increment"].fn(spark, SF)
     text = explain_str(df)
     assert "LeftAnti" in text, text
+
+
+def test_q6_all_predicates_pushed_zero_group_shuffle(spark):
+    """q6: pure filter-aggregate — date/discount/quantity all reach the
+    scan as PushedFilters; the only exchange is the single-row final
+    combine."""
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert num_exchanges(df) <= 1, explain_str(df)
+
+
+def test_q19_single_side_residues_pushed(spark):
+    """q19 (OR-of-ANDs over both join sides): CNF extraction must push the
+    part-only residue (brand) into the broadcast dim scan and the
+    lineitem-only residue (quantity bounds) into the fact scan."""
+    df = REGISTRY["q19_disjunctive_revenue"].fn(spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df), text
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_chunking_zero_shuffle(spark):
+    """t_chunking: tokenize + index-explode + slice is pure map work — no
+    exchange beyond the corpus-spread repartition."""
+    df = REGISTRY["t_chunking"].fn(spark, SF)
+    assert num_exchanges(df) <= 1, explain_str(df)
+
+
+def test_url_canonical_two_level_distinct_agg(spark):
+    """d_url_canonical: regex canonicalization fuses with the scan; the
+    count(DISTINCT url) plans as Spark's two-level rewrite — partial agg on
+    (canonical_url, url), exchange, then re-agg on canonical_url, exchange.
+    Exactly 2 exchanges, both on keys (no row explosion, no join)."""
+    df = REGISTRY["d_url_canonical"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 2, text
+    assert "Join" not in text, text
+
+
+def test_window_time_range_single_shuffle_no_join(spark):
+    """q_window_time_range: RANGE frame = one hash exchange on user_id +
+    an in-partition sort — no self-join, no explode."""
+    df = REGISTRY["q_window_time_range"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 1, text
+    assert "Join" not in text, text
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """salted_join with broadcast disabled: the join key becomes
+    (l_returnflag, __salt) — 3 hot keys x 16 salts = 48 distinct shuffle
+    keys instead of 3 — and results equal the plain join."""
+    from oem_gateway_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_returnflag", "l_extendedprice")
+    dim = li.select("l_returnflag").distinct().withColumn(
+        "lbl", F.concat(F.lit("flag-"), F.col("l_returnflag"))
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(li, dim, on="l_returnflag", n_salts=16)
+        text = explain_str(salted)
+        assert "__salt" in text, text
+        plain = li.join(dim, on="l_returnflag")
+        assert salted.groupBy("lbl").count().orderBy("lbl").collect() == (
+            plain.groupBy("lbl").count().orderBy("lbl").collect()
+        )
+        # Hot-key spread: the shuffle key is (l_returnflag, __salt), so the
+        # biggest single reducer unit is a (flag, salt) bucket.  Unsalted,
+        # one reducer absorbs a whole flag (~1/3 of all rows); salted, the
+        # largest bucket must be a small fraction (expected 1/48 ~ 0.021).
+        total = li.count()
+        salt_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in li.columns]), F.lit(16)
+        ).alias("__salt")
+        biggest = (
+            li.select("l_returnflag", salt_expr)
+            .groupBy("l_returnflag", "__salt")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert biggest <= total * 0.05, (biggest, total)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
