@@ -50,6 +50,11 @@ _DRIVER_WINDOW = [
     "q6_forecast_revenue",      # new: pure pushdown filter-aggregate
     "q19_disjunctive_revenue",  # new: OR-of-ANDs partial pushdown
     "stream_incremental_rollup",  # new: continuous-aggregation driver row
+    "q10_returned_items",       # new: top-k over fact-dim join
+    "q14_promo_revenue",        # new: conditional-ratio aggregate
+    "q18_large_orders",         # new: grouped-HAVING IN (agg + semi-join)
+    "q22_idle_rich_customers",  # new: scalar subquery + anti-join combo
+    "s_kmeans",                 # new: iterative Lloyd's with unrolled oracle
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -82,26 +87,26 @@ _DRIVER_WINDOW = [
     # by r3-green q_window_distribution), g_fanout_union/g_reject_stats
     # (gateway family re-witnessed r3 via g_parse_serial/g_rfm2pi_*),
     # s_cosine_topk (exact top-k path embedded in r3-green s_ann_recall),
-    # m_multimodal_features (unchanged since its r2 green row).
+    # m_multimodal_features (unchanged since its r2 green row),
+    # q_anti_join/q_semi_join (the in-window q22/q18 exercise the same
+    # left-anti/left-semi machinery), q_global_topk (q10's TakeOrdered
+    # is the same physical top-k), q_distinct_agg (d_url_canonical's
+    # two-level distinct rewrite in-window), t_langid (same words/
+    # stopword layer as in-window t_text_stats).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q_anti_join",
-    "q_distinct_agg",
-    "q_global_topk",
     "q_json_funcs",
     "q_outer_join_coalesce",
     "q_pivot_conditional",
     "q_range_join",
     "q_rollup",
-    "q_semi_join",
     "q_window_running_sum",
     "q_window_topk_per_group",
     "d_exact_dedup_groups",
     "d_ngram_jaccard",
     "s_ann_lsh_topk",
     "s_embedding_neardup",
-    "t_langid",
     "t_text_stats",
 ]
 

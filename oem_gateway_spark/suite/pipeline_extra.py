@@ -414,3 +414,91 @@ def s_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "votes")
     )
+
+
+# ---------------------------------------------------------- k-means training
+
+_KM_K = 4
+_KM_DIM = 64
+
+
+def _km_dist_sql(vec: str, cent: str) -> str:
+    """Squared L2 between a FLOAT[] column and a DOUBLE[] centroid list,
+    folded in index order (DuckDB twin of clustering._dist_sq)."""
+    return (
+        f"list_aggregate(list_transform(range(1, {_KM_DIM + 1}), i -> "
+        f"(CAST(({vec})[i] AS DOUBLE) - ({cent})[i]) * "
+        f"(CAST(({vec})[i] AS DOUBLE) - ({cent})[i])), 'sum')"
+    )
+
+
+_KM_ORACLE = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(range(1, {_KM_DIM + 1}),
+                        i -> round(CAST(embedding[i] AS DOUBLE), 6)) AS cent
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+), a1 AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, s.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_km_dist_sql('e.embedding', 's.cent')}, s.cluster) AS rn
+    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
+), c1 AS (
+  SELECT cluster, list(m ORDER BY i) AS cent FROM (
+    SELECT cluster, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+    FROM a1, unnest(range(1, {_KM_DIM + 1})) AS t(i)
+    GROUP BY cluster, i) GROUP BY cluster
+), a2 AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_km_dist_sql('e.embedding', 'c.cent')}, c.cluster) AS rn
+    FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1
+), c2 AS (
+  SELECT cluster, list(m ORDER BY i) AS cent FROM (
+    SELECT cluster, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+    FROM a2, unnest(range(1, {_KM_DIM + 1})) AS t(i)
+    GROUP BY cluster, i) GROUP BY cluster
+)
+SELECT a2.cluster,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(a2.vec_id) AS BIGINT) AS first_vec,
+       round(sqrt(list_aggregate(
+         list_transform(any_value(c2.cent), x -> x * x), 'sum')), 4)
+         AS centroid_norm
+FROM a2 JOIN c2 ON a2.cluster = c2.cluster
+GROUP BY a2.cluster
+"""
+
+
+@query("s_kmeans", oracle=_KM_ORACLE)
+def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means training (operators/clustering.py): 2 Lloyd's iterations,
+    k=4, deterministic seeds = the 4 lowest vec_ids.  Output per cluster:
+    population, lowest member id, and the norm of the trained centroid —
+    so the oracle (the same two iterations unrolled as CTEs, centroids
+    rounded to 6 dp each round on both engines) verifies ASSIGNMENTS and
+    CENTROID VALUES, not just convergence.
+
+    The iterative-algorithm pattern: per-iteration cost is one corpus
+    scan + a k x dim partial-aggregate exchange; centroids (a few KB)
+    are the only driver round-trip.  This is the honest training loop
+    behind similarity.py's IVF serving path."""
+    from oem_gateway_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(emb, k=_KM_K, n_iter=2)
+    norms = [
+        (i, round(sum(v * v for v in c) ** 0.5, 4)) for i, c in enumerate(cents)
+    ]
+    norm_df = spark.createDataFrame(norms, ["cluster", "centroid_norm"])
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .join(F.broadcast(norm_df), on="cluster")
+        .select("cluster", "n_points", "first_vec", "centroid_norm")
+    )

@@ -336,3 +336,43 @@ def test_salted_join_spreads_hot_keys(spark):
         assert biggest <= total * 0.05, (biggest, total)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q10_take_ordered_topk(spark):
+    """q10: the final top-20 is TakeOrderedAndProject, never a global
+    sort; customer/nation broadcast."""
+    df = REGISTRY["q10_returned_items"].fn(spark, SF)
+    text = explain_str(df)
+    assert "TakeOrderedAndProject" in text, text
+    assert has_broadcast_join(df), text
+
+
+def test_q18_semi_join_no_double_agg(spark):
+    """q18 (grouped-HAVING IN): planned as ONE per-orderkey aggregation
+    whose survivors semi-join back on the same key."""
+    df = REGISTRY["q18_large_orders"].fn(spark, SF)
+    text = explain_str(df)
+    assert "LeftSemi" in text, text
+
+
+def test_q22_anti_join_with_broadcast_scalar(spark):
+    """q22: the global-average scalar broadcasts; NOT EXISTS plans as a
+    left-anti join, not a per-row subquery."""
+    df = REGISTRY["q22_idle_rich_customers"].fn(spark, SF)
+    text = explain_str(df)
+    assert "LeftAnti" in text, text
+    assert has_broadcast_join(df), text
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """k-means assignment adds NO exchange: argmin over broadcast-literal
+    centroids fuses with the scan; only the recompute aggregates."""
+    from oem_gateway_spark.operators.clustering import assign_clusters
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    assigned = assign_clusters(emb, seeds)
+    assert num_exchanges(assigned) == 0, explain_str(assigned)

@@ -38,6 +38,9 @@ PROBES = [
     "d_simhash_hamming_k",      # banded SimHash self-join
     "d_contamination",          # broadcast gram join
     "d_dup_clusters",           # iterative connected components (checkpoints)
+    "t_chunking",               # index-explode + slice (map-only, row growth)
+    "d_url_canonical",          # regex canon + two-level distinct agg
+    "s_kmeans",                 # iterative Lloyd's (scan per iteration)
 ]
 
 
