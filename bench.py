@@ -44,6 +44,9 @@ HEADLINE = [
     "d_url_canonical",
     "q_salted_join",
     "q_window_time_range",
+    "q10_returned_items",
+    "q18_large_orders",
+    "s_kmeans",
     "s_cosine_topk",
     "s_ann_lsh_topk",
     "s_ivf_ann_topk",

@@ -55,6 +55,8 @@ _DRIVER_WINDOW = [
     "q18_large_orders",         # new: grouped-HAVING IN (agg + semi-join)
     "q22_idle_rich_customers",  # new: scalar subquery + anti-join combo
     "s_kmeans",                 # new: iterative Lloyd's with unrolled oracle
+    "q_histogram",              # new: equal-width binning (profiling shape)
+    "q_funnel_conversion",      # new: first-touch interval semi-join funnel
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -92,16 +94,17 @@ _DRIVER_WINDOW = [
     # left-anti/left-semi machinery), q_global_topk (q10's TakeOrdered
     # is the same physical top-k), q_distinct_agg (d_url_canonical's
     # two-level distinct rewrite in-window), t_langid (same words/
-    # stopword layer as in-window t_text_stats).
+    # stopword layer as in-window t_text_stats), q_range_join
+    # (q_funnel_conversion's interval semi-join is the same conditional
+    # join machinery), q_window_running_sum (q_window_time_range's
+    # frames are the same windowed-aggregate machinery).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_json_funcs",
     "q_outer_join_coalesce",
     "q_pivot_conditional",
-    "q_range_join",
     "q_rollup",
-    "q_window_running_sum",
     "q_window_topk_per_group",
     "d_exact_dedup_groups",
     "d_ngram_jaccard",

@@ -360,3 +360,93 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_BODY.format(on=""))
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (SELECT min(l_extendedprice) AS m0, max(l_extendedprice) AS m1
+               FROM lineitem)
+    SELECT CAST(least(floor((l_extendedprice - m0) / ((m1 - m0) / 10.0)), 9)
+                AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 4) AS total
+    FROM lineitem, b GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (10 bins over the observed [min, max]) — the
+    profiling primitive behind data-quality dashboards.  The bounds row is
+    a 2-value broadcast; binning is then pure map arithmetic (identical
+    float expressions both engines: width first, then (v-m0)/width), so
+    the histogram costs one scan + one 10-group exchange at any scale.
+    The max value's bin is clamped to 9 (half-open bins, closed top)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("m0"), F.max("l_extendedprice").alias("m1")
+    )
+    v = F.col("l_extendedprice")
+    width = (F.col("m1") - F.col("m0")) / 10.0
+    bin_ = F.least(F.floor((v - F.col("m0")) / width), F.lit(9)).cast("int")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"), v.alias("v"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 4).alias("total"))
+    )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH fc AS (
+      SELECT user_id, min(ts) AS first_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), conv AS (
+      SELECT DISTINCT f.user_id
+      FROM fc f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts >= f.first_click
+       AND e.ts <= f.first_click + INTERVAL 1 HOUR
+    )
+    SELECT CAST((SELECT count(*) FROM fc) AS BIGINT) AS n_clickers,
+           CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+           round((SELECT count(*) FROM conv) * 1.0
+                 / (SELECT count(*) FROM fc), 6) AS conv_rate
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: of users who clicked, how many purchased within an
+    hour of their FIRST click — the first-touch attribution shape.  The
+    conversion probe is an interval left-semi join on user_id (one equi
+    shuffle, interval as residual; the semi form stops at the first
+    matching purchase instead of materializing all pairs).  The two
+    counts and the rate ride one final single-row combine."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = fc.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("first_click"))
+        & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    n_clickers = fc.agg(F.count("*").alias("n_clickers"))
+    n_conv = conv.agg(F.count("*").alias("n_converted"))
+    return (
+        n_clickers.crossJoin(n_conv)
+        .select(
+            "n_clickers",
+            "n_converted",
+            F.round(F.col("n_converted") * 1.0 / F.col("n_clickers"), 6).alias(
+                "conv_rate"
+            ),
+        )
+    )

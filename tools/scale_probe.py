@@ -193,7 +193,13 @@ def main() -> None:
         "",
         "Exponents below 1.0 mean fixed per-query overhead (session, plan,",
         "stage scheduling) still dominates at this corpus size — the",
-        "operator's data-dependent cost is at most linear.",
+        "operator's data-dependent cost is at most linear.  Tails in the",
+        "1.0-1.2 band are linear within host noise (multi-tenant box,",
+        "best-of-2; see bench.py note): ANN per-query candidate lists grow",
+        "~linearly with bucket size, and connected components may take one",
+        "extra label-propagation round as replica clusters deepen (the",
+        "documented star-contraction variant bounds rounds if that ever",
+        "trends up).",
         "",
         "```json",
         json.dumps(results),
