@@ -1,14 +1,18 @@
 """Command-line runner: list, run, explain, or show the oracle for any
-suite query.
+suite query — plus an ad-hoc SQL front door.
 
     python -m oem_gateway_spark list [prefix]
     python -m oem_gateway_spark run <query> [--sf DIR] [--limit N] [--out PATH]
     python -m oem_gateway_spark explain <query> [--sf DIR]
     python -m oem_gateway_spark oracle <query>
+    python -m oem_gateway_spark sql "SELECT ..." [--sf DIR] [--limit N] [--out PATH]
 
 ``run`` prints up to ``--limit`` rows (default 20) or, with ``--out``,
 writes the full result as parquet — the batch-engine front door for a user
-coming from the reference gateway's scripted queries.
+coming from the reference gateway's scripted queries.  ``sql`` registers
+every catalog table (region nation customer supplier part orders lineitem
+events documents embeddings) as a temp view and runs arbitrary Spark SQL
+against them — the other half of that front door.
 """
 
 from __future__ import annotations
@@ -34,12 +38,32 @@ def _build_parser() -> argparse.ArgumentParser:
 
     op = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     op.add_argument("query")
+
+    sp = sub.add_parser("sql", help="run ad-hoc Spark SQL over the catalog views")
+    sp.add_argument("statement")
+    sp.add_argument("--sf", default="/root/testdata/sf0.01", help="table dir")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--out", default=None, help="write parquet here")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from oem_gateway_spark.suite import REGISTRY
+
+    if args.cmd == "sql":
+        from oem_gateway_spark import get_spark
+        from oem_gateway_spark.catalog import register_views
+
+        spark = get_spark(app_name="oem-gateway-spark:sql")
+        register_views(spark, args.sf)
+        df = spark.sql(args.statement)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
 
     if args.cmd == "list":
         for name, spec in REGISTRY.items():

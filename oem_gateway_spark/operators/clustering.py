@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 def _dist_sq(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance to a literal centroid, folded in index order
-    (sequential fold => bit-identical to the DuckDB twin)."""
+    (sequential fold => bit-identical to the DuckDB twin).
+
+    Deliberately the zip_with/aggregate HOF form: a fully-unrolled
+    256-term scalar sum was tried and overflows janino's method limits —
+    Spark then falls back to interpreted projection for the WHOLE stage,
+    4x slower than the HOF fold."""
     lit = F.array(*[F.lit(float(v)) for v in centroid])
     diffs = F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
@@ -44,15 +49,20 @@ def assign_clusters(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """Append ``cluster`` = argmin_c dist(vec, centroids[c]); ties go to
-    the lower cluster id (strict-less CASE chain, same as numpy argmin)."""
+    the lower cluster id (array_position finds the FIRST min, same as
+    numpy argmin).
+
+    Each distance expression is evaluated exactly once into a k-array —
+    a when/otherwise argmin chain would textually duplicate every
+    (64-literal) distance subtree O(k) times, and the duplicated trees
+    dominate planning/codegen time long before data cost matters."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = [_dist_sq(vec, c) for c in centroids]
-    best_idx, best_val = F.lit(0), dists[0]
-    for i in range(1, len(centroids)):
-        better = dists[i] < best_val
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_val = F.when(better, dists[i]).otherwise(best_val)
-    return df.withColumn("cluster", best_idx.cast("int"))
+    darr = F.array(*[_dist_sq(vec, c) for c in centroids])
+    out = df.withColumn("__dists", darr)
+    cluster = (
+        F.expr("array_position(__dists, array_min(__dists))") - F.lit(1)
+    ).cast("int")
+    return out.withColumn("cluster", cluster).drop("__dists")
 
 
 def _recompute(df: DataFrame, k: int, vec_col: str = "embedding") -> list[list[float]]:
