@@ -19,6 +19,13 @@ QUERIES = [
     "d_shard_packing",
     "d_dup_clusters",
     "q_salted_agg",
+    # round 4: salting, chunking, URL grouping, and the iterative k-means
+    # (centroid averages must not depend on partial-aggregation layout —
+    # the 6-dp rounding contract makes them layout-stable)
+    "q_salted_join",
+    "t_chunking",
+    "d_url_canonical",
+    "s_kmeans",
 ]
 
 
