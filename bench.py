@@ -70,12 +70,13 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Best-of-2: this host carries ambient load from other tenants, so a
-    # single pass has up to 3x noise; min-of-two measures the engine.
+    # Best-of-3: this host carries ambient load from other tenants (same
+    # code measured 17s..25s wall across runs in round 4); min-of-three
+    # measures the engine, not the neighbors.
     from oem_gateway_spark.operators.dedup import release_caches
 
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()

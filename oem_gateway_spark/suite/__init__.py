@@ -57,6 +57,7 @@ _DRIVER_WINDOW = [
     "s_kmeans",                 # new: iterative Lloyd's with unrolled oracle
     "q_histogram",              # new: equal-width binning (profiling shape)
     "q_funnel_conversion",      # new: first-touch interval semi-join funnel
+    "q_snapshot_diff",          # new: CDC full-outer snapshot diff
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -97,12 +98,13 @@ _DRIVER_WINDOW = [
     # stopword layer as in-window t_text_stats), q_range_join
     # (q_funnel_conversion's interval semi-join is the same conditional
     # join machinery), q_window_running_sum (q_window_time_range's
-    # frames are the same windowed-aggregate machinery).
+    # frames are the same windowed-aggregate machinery),
+    # q_outer_join_coalesce (q_snapshot_diff's full-outer + coalesce
+    # in-window is the same machinery).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_json_funcs",
-    "q_outer_join_coalesce",
     "q_pivot_conditional",
     "q_rollup",
     "q_window_topk_per_group",

@@ -450,3 +450,77 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 23 = 0 THEN 1000 ELSE 0 END
+               AS o_totalprice,
+             o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 19 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 31 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           round(o.o_totalprice, 4) AS old_price,
+           round(n.o_totalprice, 4) AS new_price
+    FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC pattern): classify rows across two table
+    versions as added / removed / changed via a full-outer join on the
+    key with null-safe field comparison — how a 100 TB pipeline detects
+    incremental change between daily snapshots without a transaction log.
+    The 'new' snapshot is synthesized deterministically from orders
+    (every 19th key deleted, every 23rd repriced, every 31st re-added
+    under a shifted key) so both engines diff identical inputs.
+
+    Shape: one co-partitioned full-outer join on the key (both sides
+    shuffle once on o_orderkey); unchanged rows — the overwhelming
+    majority in real snapshots — are filtered by the join residual and
+    never reach the output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    modified = o.filter(F.col("o_orderkey") % 19 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 23 == 0, F.lit(1000.0)).otherwise(F.lit(0.0)),
+    )
+    readded = o.filter(F.col("o_orderkey") % 31 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    new = modified.unionByName(readded)
+    old_s = o.select(*[F.col(c).alias(f"old_{c}") for c in o.columns])
+    new_s = new.select(*[F.col(c).alias(f"new_{c}") for c in new.columns])
+    j = old_s.join(
+        new_s, old_s.old_o_orderkey == new_s.new_o_orderkey, "full_outer"
+    )
+    diff = j.filter(
+        F.col("old_o_orderkey").isNull()
+        | F.col("new_o_orderkey").isNull()
+        | ~F.col("old_o_totalprice").eqNullSafe(F.col("new_o_totalprice"))
+        | ~F.col("old_o_orderstatus").eqNullSafe(F.col("new_o_orderstatus"))
+        | ~F.col("old_o_orderpriority").eqNullSafe(F.col("new_o_orderpriority"))
+    )
+    return diff.select(
+        F.coalesce("old_o_orderkey", "new_o_orderkey").alias("o_orderkey"),
+        F.when(F.col("old_o_orderkey").isNull(), "added")
+        .when(F.col("new_o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.round("old_o_totalprice", 4).alias("old_price"),
+        F.round("new_o_totalprice", 4).alias("new_price"),
+    )

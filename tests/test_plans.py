@@ -376,3 +376,14 @@ def test_kmeans_assign_is_map_only(spark):
     ]
     assigned = assign_clusters(emb, seeds)
     assert num_exchanges(assigned) == 0, explain_str(assigned)
+
+
+def test_snapshot_diff_single_key_join_no_extra_shuffle(spark):
+    """q_snapshot_diff: ONE full-outer join on the snapshot key; the
+    unchanged-row filter is a join residual, not a second pass."""
+    df = REGISTRY["q_snapshot_diff"].fn(spark, SF)
+    text = explain_str(df)
+    assert "FullOuter" in text, text
+    # old side + (modified ∪ readded) new side shuffle on the key; no
+    # further exchange after the join.
+    assert num_exchanges(df) <= 3, text
