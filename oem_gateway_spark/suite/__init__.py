@@ -58,6 +58,7 @@ _DRIVER_WINDOW = [
     "q_histogram",              # new: equal-width binning (profiling shape)
     "q_funnel_conversion",      # new: first-touch interval semi-join funnel
     "q_snapshot_diff",          # new: CDC full-outer snapshot diff
+    "d_minhash_accuracy",       # new: sketch self-audit (est vs true jaccard)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -100,7 +101,9 @@ _DRIVER_WINDOW = [
     # join machinery), q_window_running_sum (q_window_time_range's
     # frames are the same windowed-aggregate machinery),
     # q_outer_join_coalesce (q_snapshot_diff's full-outer + coalesce
-    # in-window is the same machinery).
+    # in-window is the same machinery), d_ngram_jaccard
+    # (d_minhash_accuracy's true-jaccard side computes the identical
+    # shingle-set intersection/union in-window).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -109,7 +112,6 @@ _DRIVER_WINDOW = [
     "q_rollup",
     "q_window_topk_per_group",
     "d_exact_dedup_groups",
-    "d_ngram_jaccard",
     "s_ann_lsh_topk",
     "s_embedding_neardup",
     "t_text_stats",

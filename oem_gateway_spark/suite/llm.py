@@ -195,6 +195,85 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_corpus(spark, sf_dir))
 
 
+_MINHASH_ACCURACY_ORACLE = f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus),
+    grams AS (SELECT doc_id, unnest(list_distinct({H.shingles_sql('w', 3)})) AS s
+              FROM toks),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM grams
+              GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS c
+      FROM pairs p
+        JOIN grams a ON a.doc_id = p.id_a
+        JOIN grams b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           round(p.n_equal_minhash / 8.0, 6) AS est_jaccard,
+           round(COALESCE(i.c, 0) * 1.0
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.c, 0)), 6) AS true_jaccard,
+           round(abs(p.n_equal_minhash / 8.0
+                 - COALESCE(i.c, 0) * 1.0
+                   / (sa.n_sh + sb.n_sh - COALESCE(i.c, 0))), 6) AS abs_err
+    FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+"""
+
+
+@query("d_minhash_accuracy", oracle=_MINHASH_ACCURACY_ORACLE)
+def d_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch self-audit (the MinHash twin of s_ann_recall): for every
+    LSH candidate pair, the signature-agreement jaccard ESTIMATE
+    (n_equal/8) side by side with the TRUE jaccard over distinct 3-word
+    shingle sets, and the absolute error — the in-engine measurement of
+    what the 8-component sketch actually buys.
+
+    Shape: the pair list is tiny relative to the corpus (LSH output), so
+    it broadcasts into both shingle probes; the only heavy exchange is
+    the per-pair intersection count, keyed on (id_a, id_b).  True-jaccard
+    audits at 100 TB run exactly like this on a SAMPLE of pairs — the
+    estimator is the product, the audit is the QA pass."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus)
+    grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(H.shingles(H.words(F.col("text")), k=3))
+        ).alias("s"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ga = grams.select(F.col("doc_id").alias("ga_id"), F.col("s").alias("ga_s"))
+    gb = grams.select(F.col("doc_id").alias("gb_id"), F.col("s").alias("gb_s"))
+    inter = (
+        ga.join(F.broadcast(pairs.select("id_a", "id_b")), F.col("ga_id") == F.col("id_a"))
+        .join(gb, (F.col("id_b") == F.col("gb_id")) & (F.col("ga_s") == F.col("gb_s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    est = F.col("n_equal_minhash") / 8.0
+    true_j = F.coalesce(F.col("c"), F.lit(0)) * 1.0 / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0))
+    )
+    return (
+        pairs.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .join(inter, on=["id_a", "id_b"], how="left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round(F.abs(est - true_j), 6).alias("abs_err"),
+        )
+    )
+
+
 _SIMHASH_HAMMING_SQL = " + ".join(
     f"bit_count(xor(a.sh_b{j}, b.sh_b{j}))" for j in range(H.SIMHASH_BANDS)
 )
