@@ -59,6 +59,8 @@ _DRIVER_WINDOW = [
     "q_funnel_conversion",      # new: first-touch interval semi-join funnel
     "q_snapshot_diff",          # new: CDC full-outer snapshot diff
     "d_minhash_accuracy",       # new: sketch self-audit (est vs true jaccard)
+    "d_chunk_dedup",            # new: span-level (chunk) exact dedup
+    "d_weighted_sample",        # new: deterministic weighted sampling
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -103,7 +105,10 @@ _DRIVER_WINDOW = [
     # q_outer_join_coalesce (q_snapshot_diff's full-outer + coalesce
     # in-window is the same machinery), d_ngram_jaccard
     # (d_minhash_accuracy's true-jaccard side computes the identical
-    # shingle-set intersection/union in-window).
+    # shingle-set intersection/union in-window), d_exact_dedup_groups
+    # (d_chunk_dedup + r3-green d_exact_dedup_survivors cover the
+    # fingerprint keep-first machinery), s_ann_lsh_topk (r3-green
+    # s_ann_recall executes the LSH ANN path inside its audit).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -111,8 +116,6 @@ _DRIVER_WINDOW = [
     "q_pivot_conditional",
     "q_rollup",
     "q_window_topk_per_group",
-    "d_exact_dedup_groups",
-    "s_ann_lsh_topk",
     "s_embedding_neardup",
     "t_text_stats",
 ]

@@ -411,3 +411,110 @@ def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("digit_frac") <= 0.2)
         ).alias("passes"),
     )
+
+
+@query(
+    "d_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {H.words_sql('text')} AS w FROM documents
+    ), ix AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0,
+               CAST(greatest(1, ceil((len(w) - {CHUNK_OVERLAP}) / {CHUNK_STRIDE}.0))
+                    AS INT) - 1)) AS chunk_id
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(array_to_string(
+                 list_slice(w, chunk_id * {CHUNK_STRIDE} + 1,
+                            chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+               AS chunk_fp
+      FROM ix
+    ), ranked AS (
+      SELECT doc_id, chunk_id, chunk_fp,
+             row_number() OVER (PARTITION BY chunk_fp
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS keep_ratio
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def d_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (the C4/paragraph-dedup pattern at chunk
+    granularity): every 50-word chunk is fingerprinted corpus-wide and
+    only its FIRST occurrence (lowest doc_id, then chunk_id) survives;
+    per doc, the kept-chunk count and ratio — low keep_ratio = the doc is
+    mostly text that already exists elsewhere, the span-level signal that
+    whole-doc dedup misses (boilerplate embedded in otherwise-unique
+    pages).
+
+    Shape: chunk fingerprints shuffle ONCE on chunk_fp for the
+    keep-first window, then once on doc_id for the per-doc rollup — both
+    keyed exchanges carry (ids + 128-bit fp), never text.  At 100 TB this
+    is exactly how paragraph dedup runs: fingerprint spans map-side,
+    window on the fp, aggregate survivors."""
+    docs = _docs_spread(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = H.words(F.col("text"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(w) - F.lit(CHUNK_OVERLAP)) / F.lit(CHUNK_STRIDE)).cast("int"),
+    )
+    toks = docs.select("doc_id", w.alias("w"), n_chunks.alias("n_chunks"))
+    ix = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    chunk = F.expr(f"slice(w, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    chunks = ix.select(
+        "doc_id", "chunk_id", F.md5(F.array_join(chunk, " ")).alias("chunk_fp")
+    )
+    keep_first = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(keep_first))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        kept.alias("n_kept"),
+        F.round(kept * 1.0 / F.count("*"), 6).alias("keep_ratio"),
+    )
+
+
+@query(
+    "d_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({H.words_sql('text')}) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words
+    FROM scored
+    WHERE CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000
+          < least(n_words, 500)
+    """,
+)
+def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: each doc's inclusion probability
+    is proportional to its length (capped at 50%) — upsampling long,
+    information-dense documents in a training mix, reproducibly.  Same
+    md5-threshold primitive as q_stratified_sample with a per-row weight
+    instead of per-stratum rates: hash(doc) mod 1000 < weight.  No RNG
+    state, replay/retry-stable, pure map filter that fuses with the
+    scan."""
+    from oem_gateway_spark.functions.hashing import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(H.words(F.col("text")))
+    scored = docs.select("doc_id", n_words.cast("int").alias("n_words"))
+    bucket = hash32(F.col("doc_id").cast("string"), "wsamp") % 1000
+    return scored.filter(bucket < F.least(F.col("n_words"), F.lit(500)))

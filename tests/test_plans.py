@@ -387,3 +387,19 @@ def test_snapshot_diff_single_key_join_no_extra_shuffle(spark):
     # old side + (modified ∪ readded) new side shuffle on the key; no
     # further exchange after the join.
     assert num_exchanges(df) <= 3, text
+
+
+def test_chunk_dedup_two_keyed_exchanges_no_text_shuffle(spark):
+    """d_chunk_dedup: keep-first window on chunk_fp + per-doc rollup —
+    exchanges carry (ids, fp) only; no join anywhere."""
+    df = REGISTRY["d_chunk_dedup"].fn(spark, SF)
+    text = explain_str(df)
+    assert "Join" not in text, text
+    assert "Window" in text, text
+
+
+def test_weighted_sample_map_only(spark):
+    """d_weighted_sample: hash-threshold filter fuses with the scan —
+    zero exchanges beyond the corpus spread."""
+    df = REGISTRY["d_weighted_sample"].fn(spark, SF)
+    assert num_exchanges(df) == 0, explain_str(df)
