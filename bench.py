@@ -46,6 +46,11 @@ HEADLINE = [
     "q_window_time_range",
     "q10_returned_items",
     "q18_large_orders",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q21_sole_blame_suppliers",
+    "t_unigram_logprob",
     "s_kmeans",
     "s_cosine_topk",
     "s_ann_lsh_topk",

@@ -25,6 +25,7 @@ from oem_gateway_spark.suite import relational_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import udtf_cogroup  # noqa: F401,E402
 from oem_gateway_spark.suite import pipeline_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import text_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import tpch_extra  # noqa: F401,E402
 
 # First-50 driver window (see module docstring).  Round-4 order (VERDICT r3
 # #5/#10): never-witnessed queries first, then the 8 queries the r3 NTZ shift
@@ -61,6 +62,15 @@ _DRIVER_WINDOW = [
     "d_minhash_accuracy",       # new: sketch self-audit (est vs true jaccard)
     "d_chunk_dedup",            # new: span-level (chunk) exact dedup
     "d_weighted_sample",        # new: deterministic weighted sampling
+    "q7_nation_trade_volume",   # new: two-alias dim join, disjunctive pair
+    "q8_market_share",          # new: conditional-share ratio, 7-table join
+    "q12_late_shipments",       # new: non-equi residual on equi join
+    "q17_small_quantity_revenue",  # new: correlated-AVG decorrelation
+    "q21_sole_blame_suppliers",    # new: EXISTS + NOT EXISTS double correlation
+    "q_locf_fill",              # new: ignore-nulls forward fill (LOCF)
+    "t_unigram_logprob",        # new: unigram-LM perplexity-proxy scoring
+    "d_mix_temperature",        # new: count^alpha corpus mixture weights
+    "stream_stream_left_join",  # new: outer-row watermark-flush semantics
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",
@@ -76,9 +86,18 @@ _DRIVER_WINDOW = [
     "q_approx_distinct",    # tolerance oracle replaces rows-only (r3 #6)
     "u_approx_percentile",  # tolerance oracle replaces rows-only (r3 #6)
     "w_sliding",            # oracle CAST fix (schema mismatch, r3 #4)
-    # -- stale rotation: last witnessed r2, unchanged since; re-witness now.
+    # -- stale rotation: last witnessed r2, unchanged since.  The NINE slots
+    # this section held early in r4 were displaced by this round's last nine
+    # never-witnessed queries (never-witnessed outranks stale re-witness);
+    # the whole r2-witnessed set rotates through r5/r6 per VERDICT r3 #10.
     # Deferred to r5 (all r2-green and either transitively checked by
     # r3/r4-green consumers or pure scalar layers with no moving parts):
+    # q1/q3/q5_pricing-shipping-volume (timed green every bench run,
+    # including this round's), q_json_funcs, q_pivot_conditional, q_rollup
+    # (Expand machinery shared with in-window q_cube twin reasoning above),
+    # q_window_topk_per_group (rank family), s_embedding_neardup (LSH bucket
+    # path inside r3-green s_ann_recall), t_text_stats (scalar text layer
+    # under in-window t_gopher_quality/t_unigram_logprob),
     # d_minhash_signature, d_simhash (their *_pairs queries),
     # q_dedup_keep_first (d_exact_dedup_survivors shares the keep-first
     # path), q_setops (q_setops_multiset), t_fingerprint (fingerprint path
@@ -109,15 +128,6 @@ _DRIVER_WINDOW = [
     # (d_chunk_dedup + r3-green d_exact_dedup_survivors cover the
     # fingerprint keep-first machinery), s_ann_lsh_topk (r3-green
     # s_ann_recall executes the LSH ANN path inside its audit).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_json_funcs",
-    "q_pivot_conditional",
-    "q_rollup",
-    "q_window_topk_per_group",
-    "s_embedding_neardup",
-    "t_text_stats",
 ]
 
 

@@ -502,3 +502,128 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(norm_df), on="cluster")
         .select("cluster", "n_points", "first_vec", "centroid_norm")
     )
+
+
+# ----------------------------------------------- unigram LM quality scoring
+
+@query(
+    "t_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({H.words_sql('text')}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    freqs AS (SELECT token, CAST(sum(tf) AS BIGINT) AS n_w FROM tf GROUP BY token),
+    total AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM freqs)
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * -ln(freqs.n_w / CAST(total.n_total AS DOUBLE)))
+                 / sum(tf.tf), 4) AS avg_neg_logprob
+    FROM tf JOIN freqs USING (token), total
+    GROUP BY tf.doc_id
+    """,
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean per-token
+    -ln p(token) under the corpus's OWN unigram distribution — the
+    cheap proxy for perplexity-based quality filtering (CCNet-style:
+    rank documents by LM score, drop the tail) with the LM trained and
+    applied in one job.
+
+    Scale: the corpus collapses to (doc, token, tf) FIRST (map-side
+    combinable, one shuffle on (doc, token)); the vocabulary aggregate
+    reduces that — the exchange after tokenization carries term
+    frequencies, never raw token streams.  The vocab joins back
+    broadcast here (bounded vocabulary); at a 100 TB corpus swap the
+    broadcast for a shuffle join on token — AQE's skew split handles
+    the stopword-heavy keys (documented, not needed at test scale).
+    The scalar grand total rides the broadcast as a cross join of one
+    row.
+
+    The tf frame feeds THREE consumers (the probe, the vocab aggregate,
+    and through it the grand total) — persisted once so the corpus
+    tokenizes once, not three times (caller releases via
+    operators.dedup.release_caches, same lifetime contract as the
+    MinHash signatures)."""
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        docs.select("doc_id", F.explode(H.words(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    ).persist()
+    freqs = tf.groupBy("token").agg(F.sum("tf").alias("n_w"))
+    total = freqs.agg(F.sum("n_w").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(freqs), on="token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * -F.log(F.col("n_w") / F.col("n_total").cast("double"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+    return _own_cache(scored, tf)
+
+
+# ------------------------------------------------- corpus mixture weighting
+
+@query(
+    "d_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    powered AS (SELECT *, pow(n_docs, 0.7) AS p FROM counts),
+    z AS (SELECT sum(p) AS z FROM powered)
+    SELECT source, n_docs, n_chars,
+           round(p / z, 6) AS mix_weight,
+           round(p / z * (SELECT sum(n_docs) FROM counts), 2) AS target_docs
+    FROM powered, z
+    """,
+)
+def d_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture weights: per-source sampling
+    weight proportional to count^alpha (alpha = 0.7) — the standard
+    rebalancing that up-weights small high-quality sources relative to
+    raw proportions (alpha=1 is natural sampling, alpha=0 uniform).
+    Emits the weight and the implied per-source document budget for one
+    epoch of the same total size.
+
+    Scale: one aggregate collapses the corpus to |sources| rows;
+    everything after (power, normalizer, budgets) is arithmetic on that
+    tiny frame — the normalizing constant broadcasts as a one-row cross
+    join, never a second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    powered = counts.withColumn("p", F.pow(F.col("n_docs"), F.lit(0.7)))
+    z = powered.agg(
+        F.sum("p").alias("z"), F.sum("n_docs").alias("grand_n")
+    )
+    return (
+        powered.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("p") / F.col("z"), 6).alias("mix_weight"),
+            F.round(F.col("p") / F.col("z") * F.col("grand_n"), 2).alias(
+                "target_docs"
+            ),
+        )
+    )

@@ -524,3 +524,53 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("old_o_totalprice", 4).alias("old_price"),
         F.round("new_o_totalprice", 4).alias("new_price"),
     )
+
+
+@query(
+    "q_locf_fill",
+    oracle="""
+    WITH gapped AS (
+      SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id % 100 = 0
+    )
+    SELECT event_id, user_id, ts_ms,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM gapped
+    """,
+)
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) forward fill: sensor
+    readings with synthetic gaps (every 7th event NULLed) are filled
+    with the latest preceding non-null value per user — the
+    ignore-nulls running window, the standard repair for missing
+    telemetry before resampling.  Rows before a user's first
+    observation stay NULL (both engines agree).
+
+    Scale: one shuffle on user_id (same as any per-key window); the
+    running frame is a single forward pass per partition — no
+    self-join, no gap enumeration (q_time_series_gap_fill is the
+    row-DENSIFYING twin; this one preserves cardinality)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            v.alias("v"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
+        )
+    )

@@ -398,3 +398,114 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "purchase_id", "click_id")
     return _run_to_table(joined, mode="append")
+
+
+def _stream_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Like :func:`_stream_dir`, plus one far-future sentinel event per
+    join side (user_id = -1, ts = max(ts) + 30 days, written AFTER the
+    symlink so the file source replays it in a later batch under
+    maxFilesPerTrigger=1).  Outer-join null rows only emit once the
+    GLOBAL watermark (the min across both sides' watermark nodes) passes
+    a row's join-window end — the sentinels push both sides' event-time
+    past everything real, so the closing no-data batch flushes every
+    pending outer row deterministically.  This is the bounded-replay
+    equivalent of a live stream's steady event flow; sentinel rows are
+    filtered from the result by user_id."""
+    import glob
+    import shutil
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join("/root/repo/.scratch", f"stream-events-sentinel-{safe}")
+    if os.path.exists(os.path.join(d, "zz_sentinel.parquet")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sent = (
+        batch.select(F.max("ts").alias("mx"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.explode(F.array(F.lit("purchase"), F.lit("click"))).alias(
+                "event_type"
+            ),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        .select(*[f.name for f in batch.schema.fields])
+    )
+    tmp = d + ".tmp"
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(d, "zz_sentinel.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER interval join: every purchase emits,
+    with NULL click_id when no same-user click follows within the hour.
+    Unlike the inner join (match rows emit as they arrive), the OUTER
+    rows can only emit when the watermark proves no matching click can
+    still arrive — the state-eviction semantics the inner twin never
+    exercises.  Far-future sentinel events on both sides advance the
+    global watermark past all real data so the bounded replay flushes
+    every pending outer row (see _stream_dir_with_sentinels); the
+    result then equals the batch LEFT JOIN oracle exactly.
+
+    Scale: state is bounded by (watermark delay + join window) per
+    side; the join shuffles both streams on user_id once."""
+    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    d = _stream_dir_with_sentinels(spark, sf_dir)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def side(event_type: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return normalize_event_ts(s).filter(F.col("event_type") == event_type)
+
+    left = (
+        side("purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    right = (
+        side("click")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "purchase_id", "click_id")
+    table = _run_to_table(joined, mode="append")
+    return table.filter(F.col("user_id") >= 0)
