@@ -51,6 +51,8 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_sole_blame_suppliers",
     "t_unigram_logprob",
+    "d_heavy_hitters",
+    "q_scd2_apply",
     "s_kmeans",
     "s_cosine_topk",
     "s_ann_lsh_topk",

@@ -115,3 +115,90 @@ def compact_small_files(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_data_files(path)
+
+
+def _interleave_bits(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) code: interleave the low ``bits`` bits of two
+    non-negative int columns (a in even positions, b in odd) — a pure
+    column expression, whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(col_a, i).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * i)))
+            + (F.shiftright(col_b, i).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * i + 1)))
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) layout: range-partition and sort the rows by
+    the interleaved bit code of two columns, so every output file covers a
+    small RECTANGLE of the (a, b) space instead of a thin stripe of one
+    dimension.
+
+    Why it matters at 100 TB: parquet readers skip a file/row-group when
+    its min/max stats exclude the predicate.  A single-column sort gives
+    perfect skipping on that column and ZERO on the other; the Z-order
+    curve gives near-perfect skipping on BOTH — a 2-D box predicate
+    touches only the files whose rectangle intersects the box
+    (tests/test_layout.py measures the file-level skip rate vs the
+    linear layout on the same data).  This is the OPTIMIZE ZORDER BY of
+    lakehouse engines, expressed as repartitionByRange + in-file sort on
+    a codegen'd Morton expression — the columns are first rank-normalized
+    (quantile buckets) so value skew cannot collapse the curve onto one
+    axis.
+
+    Scale note: normalization uses approxQuantile boundaries (a bounded
+    driver-side array of 2^bits-1 doubles — the Greenwald-Khanna sketch
+    runs distributed) fed to native Bucketizers; a global ntile/rank
+    window would funnel the table through ONE partition and is exactly
+    the plan this operator must never produce.
+    """
+    from pyspark.ml.feature import Bucketizer
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    coded = df
+    for c, out in ((col_a, "_za"), (col_b, "_zb")):
+        cuts = coded.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+        # de-duplicate boundaries (constant-ish columns) and wall off ±inf
+        splits = [float("-inf")] + sorted(set(cuts)) + [float("inf")]
+        # bucketize a double COPY so the data column keeps its own type
+        coded = Bucketizer(
+            splits=splits, inputCol=out + "_in", outputCol=out
+        ).transform(coded.withColumn(out + "_in", F.col(c).cast("double")))
+        # rescale to the FULL [0, 2^bits) range: a low-cardinality column
+        # yields few distinct buckets, and without the stretch its bits
+        # would all sit in the low (least significant) interleave slots —
+        # the curve would degenerate into a single-column sort on the
+        # high-cardinality dimension.
+        n_actual = len(splits) - 1
+        coded = coded.withColumn(
+            out,
+            F.least(
+                F.floor(F.col(out) * n_buckets / n_actual).cast("long"),
+                F.lit(n_buckets - 1).cast("long"),
+            ),
+        ).drop(out + "_in")
+    coded = coded.withColumn(
+        "_z", _interleave_bits(F.col("_za"), F.col("_zb"), bits)
+    )
+    (
+        coded.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_za", "_zb", "_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -627,3 +627,74 @@ def d_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ two-phase heavy hitters
+
+@query(
+    "d_heavy_hitters",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, unnest(list_distinct({H.words_sql('text')})) AS token
+      FROM documents
+    ),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+           FROM dt GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token, doc_freq FROM df, n WHERE doc_freq > 0.01 * n_docs
+    """,
+)
+def d_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: every token present in more than 1% of documents,
+    with its EXACT document frequency — computed with the two-phase
+    candidate pattern (per-partition Misra-Gries summaries -> candidate
+    superset -> exact recount of candidates only), not a full-vocabulary
+    shuffle.
+
+    Why it scales: phase 1 never shuffles — each partition keeps a
+    bounded 200-counter summary (mergeable-summaries MG: exact batch
+    counts merged with subtract-the-(k+1)th-and-prune, all vectorized
+    pandas — no per-token Python loop), and MG guarantees any token
+    with partition frequency > n_p/(k+1) survives, so with k+1 > 1/s
+    every global s-heavy hitter is some partition's candidate.  Phase 2
+    recounts ONLY the candidate tokens (broadcast semi filter on the
+    explode, so the counting exchange carries candidates, not
+    vocabulary).  The final threshold makes the output exact and
+    independent of MG arrival order.  Cost: two corpus scans, zero
+    vocabulary-wide shuffles — at 100 TB that trade is decisively right
+    (t_vocab_topk is the full-aggregation twin for bounded vocabs)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    per_doc = docs.select(
+        "doc_id", F.array_distinct(H.words(F.col("text"))).alias("toks")
+    )
+    tokens = per_doc.select(F.explode("toks").alias("token"))
+
+    K = 200  # counters per partition; guarantee needs K+1 > 1/support
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            merged = pd.Series(counters, dtype="int64").add(
+                pdf["token"].value_counts(), fill_value=0
+            )
+            if len(merged) > K:
+                cut = merged.nlargest(K + 1).iloc[-1]
+                merged = merged - cut
+                merged = merged[merged > 0]
+            counters = merged.astype("int64").to_dict()
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg_partition, "token string").distinct()
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tokens.join(F.broadcast(candidates), on="token", how="left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") > 0.01 * F.col("n_docs"))
+        .select("token", "doc_freq")
+    )

@@ -574,3 +574,104 @@ def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
         )
     )
+
+
+@query(
+    "q_scd2_apply",
+    oracle="""
+    WITH newsnap AS (
+      SELECT c_custkey,
+             c_acctbal + CASE WHEN c_custkey % 11 = 0 THEN 500.0 ELSE 0 END
+               AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 9000000, c_acctbal FROM customer
+      WHERE c_custkey % 17 = 0
+    ),
+    j AS (
+      SELECT o.c_custkey AS old_key, o.c_acctbal AS old_bal,
+             n.c_custkey AS new_key, n.c_acctbal AS new_bal
+      FROM customer o FULL OUTER JOIN newsnap n USING (c_custkey)
+    )
+    SELECT old_key AS c_custkey, round(old_bal, 4) AS c_acctbal,
+           '2020-01-01' AS valid_from,
+           CASE WHEN new_key IS NULL OR old_bal <> new_bal
+                THEN '2024-06-01' END AS valid_to,
+           (new_key IS NOT NULL AND old_bal = new_bal) AS is_current
+    FROM j WHERE old_key IS NOT NULL
+    UNION ALL
+    SELECT new_key, round(new_bal, 4), '2024-06-01', CAST(NULL AS VARCHAR), true
+    FROM j
+    WHERE new_key IS NOT NULL AND (old_key IS NULL OR old_bal <> new_bal)
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 apply: merge a new dimension snapshot into a
+    slowly-changing-dimension history — unchanged rows stay open,
+    changed rows close the old version (valid_to = load date) and open
+    a new one, deletes close, inserts open.  The new snapshot is
+    synthesized deterministically from customer (balance bump for
+    custkey%11, deletes %13, inserts %17 — same convention as
+    q_snapshot_diff).
+
+    Scale: ONE full-outer join on the business key (single shuffle per
+    side), then each joined row emits its 1-2 history rows through an
+    array-of-structs explode — the classic UNION-of-two-selects
+    formulation would recompute the join per branch; the explode does
+    it in one pass.  This is the standard warehouse pattern for
+    dimension history at any scale (the join key is the natural
+    partitioner; no skew — business keys are unique per side)."""
+    c = load_table(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey").alias("old_key"), F.col("c_acctbal").alias("old_bal")
+    )
+    new = (
+        c.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 11 == 0, 500.0).otherwise(0.0)
+            ).alias("new_bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 9000000).alias("c_custkey"),
+                F.col("c_acctbal").alias("new_bal"),
+            )
+        )
+        .select(F.col("c_custkey").alias("new_key"), "new_bal")
+    )
+    j = old.join(new, old.old_key == new.new_key, "full_outer")
+    # dates travel as ISO strings: Spark hands pandas datetime.date while
+    # DuckDB hands datetime64 — strings compare identically in the driver
+    load_date = F.lit("2024-06-01")
+    start_date = F.lit("2020-01-01")
+    changed = F.col("old_bal") != F.col("new_bal")
+    old_row = F.when(
+        F.col("old_key").isNotNull(),
+        F.struct(
+            F.col("old_key").alias("c_custkey"),
+            F.round("old_bal", 4).alias("c_acctbal"),
+            start_date.alias("valid_from"),
+            F.when(F.col("new_key").isNull() | changed, load_date).alias(
+                "valid_to"
+            ),
+            (F.col("new_key").isNotNull() & ~changed).alias("is_current"),
+        ),
+    )
+    new_row = F.when(
+        F.col("new_key").isNotNull() & (F.col("old_key").isNull() | changed),
+        F.struct(
+            F.col("new_key").alias("c_custkey"),
+            F.round("new_bal", 4).alias("c_acctbal"),
+            load_date.alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        ),
+    )
+    rows = F.filter(F.array(old_row, new_row), lambda x: x.isNotNull())
+    return (
+        j.select(F.explode(rows).alias("r"))
+        .select("r.*")
+    )

@@ -87,3 +87,83 @@ def test_partitioned_compaction_keeps_layout(spark):
     pick = days[0].split("=", 1)[1]
     text = explain_str(out.filter(F.col("day") == pick))
     assert "PartitionFilters" in text, text
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """Z-order vs single-column sort, measured at the parquet-footer level:
+    for a 2-D box predicate, count the files whose (min, max) ranges
+    intersect the box — the exact set a stats-pruning reader must open.
+    The linear layout must open ~every file for the non-sort dimension's
+    constraint; the Z-order layout must skip a clear majority."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oem_gateway_spark.operators.layout import zorder_write
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_write(li, zpath, "l_partkey", "l_suppkey", n_files=n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    # boxes sized to the sf0.001 domains (l_partkey 0..199, l_suppkey 0..9)
+    lo_a, hi_a = 50, 120    # box on l_partkey
+    lo_b, hi_b = 2, 4       # box on l_suppkey
+
+    def files_touched(path):
+        touched, total = 0, 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            mins = {"l_partkey": None, "l_suppkey": None}
+            maxs = {"l_partkey": None, "l_suppkey": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        mins[name] = (
+                            st.min if mins[name] is None else min(mins[name], st.min)
+                        )
+                        maxs[name] = (
+                            st.max if maxs[name] is None else max(maxs[name], st.max)
+                        )
+            total += 1
+            if (
+                mins["l_partkey"] is not None
+                and not (maxs["l_partkey"] < lo_a or mins["l_partkey"] > hi_a)
+                and not (maxs["l_suppkey"] < lo_b or mins["l_suppkey"] > hi_b)
+            ):
+                touched += 1
+        return touched, total
+
+    zt, zn = files_touched(zpath)
+    lt, ln = files_touched(lpath)
+    assert zn >= n_files // 2 and ln >= n_files // 2  # both actually split
+    # 2-D box: z-order must never be worse (on a narrow-partkey box the
+    # linear layout prunes well on its sort key, so parity is possible;
+    # the wide-box check below is the discriminating one)
+    assert zt <= lt, (zt, lt)
+    # the discriminating check is a box wide on the sort key and narrow on
+    # the OTHER key — the linear layout cannot skip anything there:
+    lo_a, hi_a = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    wz, _ = files_touched(zpath)
+    wl, _ = files_touched(lpath)
+    # partkey unconstrained -> linear layout must open every file...
+    assert wl == ln, (wl, ln)
+    # ...while the z-order layout still skips on the suppkey dimension.
+    assert wz < zn * 0.7, (wz, zn)
+
+    # and both layouts return identical data
+    assert (
+        spark.read.parquet(zpath).count() == spark.read.parquet(lpath).count()
+    )

@@ -26,6 +26,12 @@ QUERIES = [
     "t_chunking",
     "d_url_canonical",
     "s_kmeans",
+    # round 4b: the MG candidate sets of d_heavy_hitters differ per
+    # partitioning — the exact recount must erase that; unigram scores sum
+    # float terms in partition order; SCD2's explode rides a full-outer join
+    "d_heavy_hitters",
+    "t_unigram_logprob",
+    "q_scd2_apply",
 ]
 
 
@@ -38,12 +44,19 @@ def _rows(spark, name):
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_shuffle_partition_invariance(spark, name):
-    original = spark.conf.get("spark.sql.shuffle.partitions")
+    # The registry wrapper re-asserts session.DEFAULT_CONF on every call
+    # (driver contract), which would silently override a plain
+    # spark.conf.set here and make both runs identical — patch the source
+    # of truth so the wrapper itself applies the varied partition count.
+    from oem_gateway_spark import session as S
+
+    original = S.DEFAULT_CONF["spark.sql.shuffle.partitions"]
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        S.DEFAULT_CONF["spark.sql.shuffle.partitions"] = "3"
         low = _rows(spark, name)
-        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        S.DEFAULT_CONF["spark.sql.shuffle.partitions"] = "17"
         high = _rows(spark, name)
     finally:
+        S.DEFAULT_CONF["spark.sql.shuffle.partitions"] = original
         spark.conf.set("spark.sql.shuffle.partitions", original)
     assert low == high

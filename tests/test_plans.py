@@ -475,3 +475,31 @@ def test_locf_single_window_pass(spark):
     text = explain_str(df)
     assert num_exchanges(df) == 1, text
     assert "Join" not in text, text
+
+
+def test_scd2_single_join_one_pass_emit(spark):
+    """SCD2 apply: ONE full-outer join; both history rows per key emit
+    through a single explode — the UNION-of-selects formulation would
+    plan the join twice."""
+    df = REGISTRY["q_scd2_apply"].fn(spark, SF)
+    text = explain_str(df)
+    tree = text.split("\n\n")[0]  # the plan tree (details repeat nodes)
+    assert tree.count("FullOuter") == 1, tree
+    assert tree.count("Generate") == 1, tree
+    # the only Union is the new-snapshot SYNTHESIS below the join — the
+    # history emit above the join must be the explode, not a union
+    above_join = tree.split("FullOuter")[0]
+    assert "Union" not in above_join, tree
+
+
+def test_heavy_hitters_mg_then_exact(spark):
+    """Heavy hitters: phase-1 candidates come from a partition-local
+    summary (MapInPandas, no preceding exchange beyond the corpus
+    spread), and phase 2 recounts via a broadcast LeftSemi — the
+    full-vocabulary aggregate-then-filter plan would show a plain
+    hash aggregate over ALL tokens with no semi join."""
+    df = REGISTRY["d_heavy_hitters"].fn(spark, SF)
+    text = explain_str(df)
+    assert "MapInPandas" in text, text
+    assert "LeftSemi" in text, text
+    assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text

@@ -41,6 +41,8 @@ PROBES = [
     "t_chunking",               # index-explode + slice (map-only, row growth)
     "d_url_canonical",          # regex canon + two-level distinct agg
     "s_kmeans",                 # iterative Lloyd's (scan per iteration)
+    "t_unigram_logprob",        # tf persist + vocab join (corpus-linear?)
+    "d_chunk_dedup",            # chunk fingerprints + keep-first window
 ]
 
 
