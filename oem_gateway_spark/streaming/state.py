@@ -312,6 +312,112 @@ def counter_deltas(
     )
 
 
+def locf_fill(
+    stream: DataFrame,
+    key_col: str = "node",
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Stateful LOCF (last-observation-carried-forward) on a stream: per
+    key, NULL readings are filled with the latest preceding non-null
+    value, INCLUDING across micro-batch boundaries — the state carries
+    one last-good value per key, so a gap at the head of a batch repairs
+    from the previous batch's tail (the batch twin, q_locf_fill, can
+    only look within its own frame; this is the operator a live
+    telemetry pipeline needs).  Rows before a key's first observation
+    stay NULL.
+
+    Rows sort by (ts_ms, id) within each batch; correctness across
+    batches requires the source to deliver time-ordered batches (true
+    for replayed time-partitioned files and for any watermarked
+    upstream).  State per key is a single float — bounded by the key
+    population.  ``timeout_minutes=None`` (NoTimeout) for bounded
+    availableNow replays — see :func:`node_running_stats`."""
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("filled", DoubleType()),
+        ]
+    )
+    # NaN = "no observation yet" (state tuples cannot hold None)
+    state_schema = StructType([StructField("last_good", DoubleType())])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["ts_ms", "event_id"], kind="stable", ignore_index=True
+        )
+        v = pdf["value"].astype(float)
+        filled = v.ffill()
+        last_good = float("nan")
+        if state.exists:
+            last_good = state.get[0]
+        if not math.isnan(last_good):
+            # any NaN surviving ffill is a leading gap: repair from state
+            filled = filled.fillna(last_good)
+        tail = filled.iloc[-1] if len(filled) else float("nan")
+        new_last = last_good if pd.isna(tail) else float(tail)
+        state.update((new_last,))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        out = filled.astype(object).where(filled.notna(), None)
+        yield pd.DataFrame(
+            {
+                "node": node,
+                "event_id": pdf["event_id"],
+                "ts_ms": pdf["ts_ms"],
+                "filled": out,
+            }
+        )
+
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"CAST({id_col} AS LONG) AS event_id",
+            f"CAST({ts_ms_col} AS LONG) AS ts_ms",
+            f"CAST({value_col} AS DOUBLE) AS value",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+
+
 def node_counter_deltas(
     stream: DataFrame,
     key_col: str = "node",

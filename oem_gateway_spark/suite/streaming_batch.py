@@ -509,3 +509,87 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_id", "click_id")
     table = _run_to_table(joined, mode="append")
     return table.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "stream_locf",
+    oracle="""
+    WITH gapped AS (
+      SELECT CAST(user_id AS INT) AS node, event_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id % 100 = 0
+    )
+    SELECT node, event_id, ts_ms,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY node ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM gapped
+    """,
+)
+def stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful forward fill (applyInPandasWithState): the gapped
+    telemetry stream replays as FOUR time-ordered micro-batches
+    (maxFilesPerTrigger=1 over a time-sliced split, file mtimes forcing
+    batch order), so gaps at a batch head must repair from state carried
+    over the batch boundary — the cross-batch semantics the batch twin
+    (q_locf_fill) cannot exercise.  Equals the one-shot window oracle."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.when(F.col("event_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    split_dir = os.path.join("/root/repo/.scratch", f"locf-events-{safe}")
+    if not os.path.exists(os.path.join(split_dir, "zz_3.parquet")):
+        import glob
+        import shutil
+
+        from pyspark.sql.window import Window
+
+        os.makedirs(split_dir, exist_ok=True)
+        # 4 contiguous time slices (global row_number is test-prep only —
+        # the operator itself never sorts globally); written sequentially
+        # with bumped mtimes so the file source replays them in time order.
+        w = Window.orderBy("ts_ms", "event_id")
+        sliced = ev.withColumn("_slice", F.ntile(4).over(w) - 1)
+        for k in range(4):
+            tmp = split_dir + f".tmp{k}"
+            (
+                sliced.filter(F.col("_slice") == k)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(split_dir, f"zz_{k}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + 1000 * k,) * 2)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(split_dir)
+    )
+    out = ST.locf_fill(
+        stream,
+        key_col="user_id",
+        value_col="value",
+        ts_ms_col="ts_ms",
+        id_col="event_id",
+        timeout_minutes=None,
+    )
+    result = out.select(
+        "node", "event_id", "ts_ms", F.round("filled", 4).alias("filled")
+    )
+    return _run_to_table(result, mode="update")
