@@ -675,3 +675,71 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(F.explode(rows).alias("r"))
         .select("r.*")
     )
+
+
+@query(
+    "q_concurrent_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(epoch_ms(ts) AS BIGINT) AS s,
+             CAST(epoch_ms(ts) AS BIGINT) + 3600000 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (
+      SELECT s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM iv
+    ),
+    merged AS (SELECT t, sum(d) AS delta FROM bounds GROUP BY t),
+    swept AS (
+      SELECT t, CAST(sum(delta) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS concurrency
+      FROM merged
+    )
+    SELECT CAST(max(concurrency) AS BIGINT) AS peak,
+           CAST(count(*) AS BIGINT) AS n_boundaries,
+           CAST(min(CASE WHEN concurrency = (SELECT max(concurrency) FROM swept)
+                         THEN t END) AS BIGINT) AS first_peak_ms
+    FROM swept
+    """,
+)
+def q_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: each purchase opens a 1-hour interval; the
+    query finds the PEAK number of simultaneously-open intervals and when
+    it first occurs — the occupancy/capacity-planning shape (concurrent
+    sessions, connections, reservations) that naive self-join approaches
+    turn into an O(n^2) overlap join.
+
+    Plan: intervals unpivot to +1/-1 boundary deltas, coincident
+    boundaries pre-aggregate (one hash shuffle), and a running sum over
+    the time order yields the concurrency timeline.  The global-order
+    window funnels only the AGGREGATED boundary stream (two rows per
+    interval, collapsed by timestamp) through the ordered pass, and the
+    peak reduces it to one row.  At 100 TB, shard the sweep by a
+    partition key (per-region occupancy) or pre-bucket timestamps; the
+    all-keys global timeline is inherently sequential in any engine."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    s = F.unix_millis("ts")
+    iv = ev.select(s.alias("s"), (s + 3600000).alias("e"))
+    bounds = iv.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    merged = bounds.groupBy("t").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = merged.select("t", F.sum("delta").over(w).alias("concurrency"))
+    peak = swept.agg(F.max("concurrency").alias("_peak"))
+    # first_peak_ms = earliest boundary hitting the maximum — ties on the
+    # peak value are resolved by time, deterministically in both engines
+    return (
+        swept.join(F.broadcast(peak))
+        .agg(
+            F.max("concurrency").alias("peak"),
+            F.count("*").alias("n_boundaries"),
+            F.min(
+                F.when(F.col("concurrency") == F.col("_peak"), F.col("t"))
+            ).alias("first_peak_ms"),
+        )
+    )
