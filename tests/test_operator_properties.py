@@ -68,3 +68,77 @@ def test_salted_join_equals_plain_join_random_skew(spark):
             want_rows = sorted(map(tuple, want.select("k", "v", "w").collect()),
                                key=lambda t: (str(t[0]), t[1], str(t[2])))
             assert got_rows == want_rows, (trial, how)
+
+
+def test_misra_gries_merge_superset_guarantee():
+    """The vectorized MG merge used by d_heavy_hitters: for random skewed
+    token streams split into arbitrary batches, every token with total
+    frequency > n/(K+1) must survive in the final counter set (the
+    candidate-superset guarantee the exact recount relies on)."""
+    import pandas as pd
+
+    K = 20
+    rng = random.Random(7)
+    for trial in range(25):
+        n = rng.randint(50, 2000)
+        # zipf-ish skew over a vocabulary larger than K
+        vocab = [f"w{i}" for i in range(rng.randint(K + 5, 200))]
+        weights = [1.0 / (i + 1) for i in range(len(vocab))]
+        stream = rng.choices(vocab, weights=weights, k=n)
+        # arbitrary batch split
+        cuts = sorted(rng.sample(range(1, n), min(5, n - 1))) + [n]
+        counters: dict[str, int] = {}
+        start = 0
+        for c in cuts:
+            batch = pd.Series(stream[start:c], dtype=object)
+            start = c
+            merged = pd.Series(counters, dtype="int64").add(
+                batch.value_counts(), fill_value=0
+            )
+            if len(merged) > K:
+                cut_v = merged.nlargest(K + 1).iloc[-1]
+                merged = merged - cut_v
+                merged = merged[merged > 0]
+            counters = merged.astype("int64").to_dict()
+        import collections
+
+        true = collections.Counter(stream)
+        for tok, freq in true.items():
+            if freq > n / (K + 1):
+                assert tok in counters, (trial, tok, freq, n)
+
+
+def test_locf_state_chain_equals_global_ffill():
+    """locf_fill's per-batch update (ffill + leading-gap repair from one
+    carried float) must equal a single global ffill for ANY batch split
+    of a time-ordered stream — the exact invariant stream_locf relies on
+    when the replay slices the stream into micro-batches."""
+    import math as m
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    for trial in range(25):
+        n = rng.randint(1, 200)
+        vals = [
+            None if rng.random() < 0.4 else round(rng.uniform(0, 10), 3)
+            for _ in range(n)
+        ]
+        s = pd.Series(vals, dtype=object).astype(float)
+        expect = s.ffill().tolist()
+        cuts = sorted(rng.sample(range(1, n), min(4, n - 1))) + [n] if n > 1 else [n]
+        got: list[float] = []
+        last_good = float("nan")
+        start = 0
+        for c in cuts:
+            chunk = s.iloc[start:c]
+            start = c
+            filled = chunk.ffill()
+            if not m.isnan(last_good):
+                filled = filled.fillna(last_good)
+            tail = filled.iloc[-1] if len(filled) else float("nan")
+            last_good = last_good if pd.isna(tail) else float(tail)
+            got.extend(filled.tolist())
+        assert len(got) == len(expect)
+        for a, b in zip(got, expect):
+            assert (m.isnan(a) and m.isnan(b)) or a == b, (trial, got, expect)
