@@ -59,6 +59,7 @@ HEADLINE = [
     "s_ivf_ann_topk",
     "s_ivf_nprobe",
     "pipeline_data_prep",
+    "pipeline_data_prep_v2",
 ]
 
 

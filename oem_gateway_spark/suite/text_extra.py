@@ -518,3 +518,115 @@ def d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", n_words.cast("int").alias("n_words"))
     bucket = hash32(F.col("doc_id").cast("string"), "wsamp") % 1000
     return scored.filter(bucket < F.least(F.col("n_words"), F.lit(500)))
+
+
+@query(
+    "pipeline_data_prep_v2",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0 THEN '{PII_EMAIL}' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN '{PII_PHONE}' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{EMAIL_REGEX}')) AS INT)
+               + CAST(len(regexp_extract_all(text, '{PHONE_REGEX}')) AS INT)
+               AS n_pii,
+             regexp_replace(regexp_replace(text, '{EMAIL_REGEX}', '<EMAIL>', 'g'),
+                            '{PHONE_REGEX}', '<PHONE>', 'g') AS text
+      FROM injected
+    ),
+    stats AS (
+      SELECT doc_id, n_pii, md5(text) AS fp,
+             {{words}} AS w
+      FROM scrubbed
+    ),
+    gated AS (
+      SELECT doc_id, n_pii, fp, CAST(len(w) AS INT) AS n_words
+      FROM stats
+      WHERE len(w) >= 20
+        AND list_aggregate(list_transform(w, x -> length(x)), 'sum')
+            / len(w) BETWEEN 3 AND 10
+        AND len(list_filter(w, x -> regexp_full_match(x, '[0-9]+')))
+            / len(w) <= 0.2
+    ),
+    dedup AS (
+      SELECT doc_id, n_pii, n_words,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM gated
+    )
+    SELECT doc_id, n_pii, n_words,
+           CAST(greatest(1, ceil((n_words - {CHUNK_OVERLAP}) * 1.0
+                                 / {CHUNK_STRIDE})) AS INT) AS n_chunks
+    FROM dedup WHERE rn = 1
+    """.replace("{words}", H.words_sql("text")),
+)
+def pipeline_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, second generation — the round-4
+    gate set composed into ONE Catalyst plan: PII inject (test fixture)
+    -> scrub (count + redact) -> Gopher word-quality gates on the
+    SCRUBBED text -> exact dedup keep-first on the scrubbed fingerprint
+    -> per-survivor chunk budget (the t_chunking geometry).
+
+    Everything up to dedup is pure map work fused with the scan (regex,
+    token arrays, gates); the ONLY exchange in the whole pipeline is the
+    fingerprint window's hash shuffle — at 100 TB the pipeline streams
+    the corpus once and shuffles (doc_id, fp, 3 ints), never text.
+    Chunk counts come from the closed-form geometry formula, not an
+    explode, so the output stays one row per surviving doc."""
+    from pyspark.sql.window import Window
+
+    docs = _docs_spread(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(PII_EMAIL)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(PII_PHONE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrub_text = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_REGEX, "<EMAIL>"),
+        PHONE_REGEX,
+        "<PHONE>",
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_REGEX), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(PHONE_REGEX), F.lit(0)))
+    ).cast("int")
+    scrubbed = injected.select(
+        "doc_id", n_pii.alias("n_pii"), scrub_text.alias("text")
+    )
+    w = H.words(F.col("text"))
+    lens = F.transform(w, lambda x: F.length(x))
+    mean_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x) / F.size(w)
+    digit_frac = F.size(F.filter(w, lambda x: x.rlike("^[0-9]+$"))) / F.size(w)
+    stats = scrubbed.select(
+        "doc_id",
+        "n_pii",
+        F.md5("text").alias("fp"),
+        F.size(w).cast("int").alias("n_words"),
+        mean_len.alias("_mean_len"),
+        digit_frac.alias("_digit_frac"),
+    )
+    gated = stats.filter(
+        (F.col("n_words") >= 20)
+        & F.col("_mean_len").between(3, 10)
+        & (F.col("_digit_frac") <= 0.2)
+    )
+    keep_first = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (
+        gated.withColumn("_rn", F.row_number().over(keep_first))
+        .filter(F.col("_rn") == 1)
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n_words") - CHUNK_OVERLAP) * 1.0 / CHUNK_STRIDE),
+    ).cast("int")
+    return survivors.select(
+        "doc_id", "n_pii", "n_words", n_chunks.alias("n_chunks")
+    )

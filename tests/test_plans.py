@@ -503,3 +503,14 @@ def test_heavy_hitters_mg_then_exact(spark):
     assert "MapInPandas" in text, text
     assert "LeftSemi" in text, text
     assert "BroadcastHashJoin" in text or "BroadcastExchange" in text, text
+
+
+def test_data_prep_v2_single_fp_exchange(spark):
+    """The composed pipeline's ONLY exchanges are the corpus spread and
+    the fingerprint window shuffle — scrub, gates, and chunk accounting
+    all fuse with the scan; no join anywhere."""
+    df = REGISTRY["pipeline_data_prep_v2"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 2, text
+    assert "Join" not in text, text
+    assert "Window" in text, text
