@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -105,3 +106,94 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "media").mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, frame_bytes: int = 64, every_n: int = 2
+) -> DataFrame:
+    """Video-style frame sampling over the media blob: the payload splits
+    into fixed-size frames (the stand-in for demuxed video frames) and
+    every ``every_n``-th frame is kept — one OUTPUT ROW PER SAMPLED FRAME
+    (mapInPandas fan-out: rows out > rows in, the shape a real
+    frame-extraction stage has).  Frame identity is the md5 of the frame
+    bytes, so an oracle can verify the exact sampled content.
+
+    Scale: fan-out happens executor-side inside the Arrow batch; blob
+    bytes never hit the driver; the sampled-frame stream is
+    ``1/every_n`` of the input bytes.  With a real demuxer the split
+    becomes codec-determined keyframes behind the decode seam."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_idx, out_n, out_fp = [], [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                blob = media["blob"]
+                n_frames = max(1, -(-len(blob) // frame_bytes))
+                for i in range(0, n_frames, every_n):
+                    frame = blob[i * frame_bytes : (i + 1) * frame_bytes]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_n.append(n_frames)
+                    out_fp.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "n_frames": pd.Series(out_n, dtype="int32"),
+                    "frame_fp": pd.Series(out_fp, dtype=object),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(_batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("stride", IntegerType()),
+        StructField("n_bytes_out", IntegerType()),
+        StructField("resized_fp", StringType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_bytes: int = 192) -> DataFrame:
+    """Resize stand-in: nearest-neighbor byte downsampling of the media
+    blob to ~``target_bytes`` (stride = max(1, n // target), keep every
+    stride-th byte) — the deterministic fake for an image resize, with
+    the REAL pipeline shape: per-blob compute in Arrow batches, output =
+    new payload fingerprint + dimensions.  A real backend drops Pillow's
+    ``Image.resize`` behind the decode seam without changing the plan."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            strides, n_out, fps = [], [], []
+            for media in pdf["media"]:
+                blob = media["blob"]
+                stride = max(1, len(blob) // target_bytes)
+                sampled = blob[::stride]
+                strides.append(stride)
+                n_out.append(len(sampled))
+                fps.append(hashlib.md5(sampled).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "stride": pd.Series(strides, dtype="int32"),
+                    "n_bytes_out": pd.Series(n_out, dtype="int32"),
+                    "resized_fp": pd.Series(fps, dtype=object),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(_batches, RESIZE_SCHEMA)

@@ -786,3 +786,64 @@ def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "m_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(greatest(1, ceil(length(text) / 64.0)) AS INT) AS n_frames,
+             CAST(unnest(range(0, CAST(greatest(1, ceil(length(text) / 64.0))
+                                       AS INT), 2)) AS INT) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, frame_idx, n_frames,
+           md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_fp
+    FROM frames
+    """,
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: the media blob splits into 64-byte
+    frames and every 2nd frame is kept, one row per sampled frame
+    (mapInPandas FAN-OUT — rows out > rows in, the real demux shape).
+    The oracle recomputes each sampled frame's md5 from the same bytes
+    (ASCII corpus: substr char math == byte math); a real video backend
+    swaps the splitter for keyframe extraction behind the decode seam
+    (operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample(M.attach_media(docs), frame_bytes=64, every_n=2)
+
+
+@query(
+    "m_media_resize",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, text,
+             CAST(greatest(1, length(text) // 192) AS INT) AS stride
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, stride,
+             list_aggregate(
+               list_transform(
+                 range(1, CAST((length(text) - 1) // stride AS INT) + 2),
+                 i -> substr(text, 1 + (i - 1) * stride, 1)),
+               'string_agg', '') AS s
+      FROM sized
+    )
+    SELECT doc_id, stride,
+           CAST(length(s) AS INT) AS n_bytes_out,
+           md5(s) AS resized_fp
+    FROM sampled
+    """,
+)
+def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stand-in: every-stride-th byte of the blob (nearest-neighbor
+    downsample to ~192 bytes), fingerprinted so the oracle verifies the
+    exact resized payload.  The pipeline shape (Arrow batches, executor-
+    side byte work, metadata out) is what a Pillow-backed resize drops
+    into behind the decode seam."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_media(M.attach_media(docs), target_bytes=192)
