@@ -1,14 +1,16 @@
-"""TPC-H composite shapes II: the hard subquery/join patterns (Q7, Q8,
-Q12, Q17, Q21) adapted to the testdata's columns (no partsupp /
+"""TPC-H composite shapes II: the hard subquery/join patterns (Q4, Q7,
+Q8, Q12, Q13, Q17, Q21) adapted to the testdata's columns (no partsupp /
 shipmode / commitdate in this generation — each query keeps the
-ORIGINAL's machinery and swaps only the filter columns).
+ORIGINAL's machinery and swaps only the filter columns; the partsupp
+family Q2/Q9/Q11/Q16/Q20 has no table to run against).
 
-Why these five: together they cover the remaining classic OLAP plan
-shapes the suite didn't yet witness — two-alias dimension join with a
-disjunctive pair predicate (Q7), a conditional-share ratio over a
-seven-table join (Q8), a non-equi residual on top of an equi join
-(Q12), correlated-aggregate decorrelation (Q17), and double-correlated
-EXISTS / NOT EXISTS (Q21).
+Why these seven: together they cover the remaining classic OLAP plan
+shapes the suite didn't yet witness — aggregated EXISTS (Q4), two-alias
+dimension join with a disjunctive pair predicate (Q7), a
+conditional-share ratio over a seven-table join (Q8), a non-equi
+residual on top of an equi join (Q12), a predicate ON the outer-join
+condition feeding stacked aggregates (Q13), correlated-aggregate
+decorrelation (Q17), and double-correlated EXISTS / NOT EXISTS (Q21).
 
 Scale notes are per-query; the common rules: dimension sides are
 nation-filtered FIRST (so the broadcast is the filtered dim, ~1/25 of
@@ -314,3 +316,79 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter having at least one flagged
+    line, counted by priority — EXISTS over the fact planned as ONE
+    left-semi join (the correlated subquery never executes per row).
+
+    Plan: both date predicates push into the orders scan; the lineitem
+    probe side filters to flagged rows before the semi join; the final
+    aggregate is five groups."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    flagged = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(flagged, o.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey,
+             CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (how many customers placed 0, 1, 2... qualifying orders) — a LEFT
+    OUTER join with a predicate on the JOIN CONDITION (not a WHERE —
+    rows must survive with count 0), then two stacked aggregations.
+
+    Plan: the filtered orders side shuffles on custkey against the
+    customer side once; count(o_orderkey) ignores the null-extended
+    rows, so zero-order customers land in the c_count=0 bucket; the
+    second aggregate is tiny (distinct counts).  This join is the
+    textbook skew case at scale — one mega-customer inflates a single
+    custkey — handled by AQE skew splitting since the first aggregate
+    keys on the SAME custkey the join shuffled on."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    j = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
