@@ -52,6 +52,16 @@ SESSION_ORACLE = """
 """
 
 
+def _source_fp(sf_dir: str) -> str:
+    """Fingerprint of the events source file (mtime + size), embedded in
+    every MATERIALIZED scratch-dir name so a driver-side testdata
+    regeneration (the r3 TIMESTAMP_NTZ incident) invalidates stale
+    replicas instead of silently replaying old data.  Plain symlink dirs
+    track the source automatically and don't need it."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return f"{int(st.st_mtime)}-{st.st_size}"
+
+
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source wants a DIRECTORY; testdata ships single
     parquet files.  Build (once) a scratch dir symlinking the events file."""
@@ -326,7 +336,9 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oem_gateway_spark.streaming.rollup import IncrementalRollup
 
     safe = sf_dir.strip("/").replace("/", "_")
-    split_dir = os.path.join("/root/repo/.scratch", f"rollup-events-{safe}")
+    split_dir = os.path.join(
+        "/root/repo/.scratch", f"rollup-events-{safe}-{_source_fp(sf_dir)}"
+    )
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         # Frame schema the rollup aggregates over: node / values / ingest_ts.
@@ -415,7 +427,10 @@ def _stream_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     safe = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join("/root/repo/.scratch", f"stream-events-sentinel-{safe}")
+    d = os.path.join(
+        "/root/repo/.scratch",
+        f"stream-events-sentinel-{safe}-{_source_fp(sf_dir)}",
+    )
     if os.path.exists(os.path.join(d, "zz_sentinel.parquet")):
         return d
     os.makedirs(d, exist_ok=True)
@@ -547,7 +562,9 @@ def stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     safe = sf_dir.strip("/").replace("/", "_")
-    split_dir = os.path.join("/root/repo/.scratch", f"locf-events-{safe}")
+    split_dir = os.path.join(
+        "/root/repo/.scratch", f"locf-events-{safe}-{_source_fp(sf_dir)}"
+    )
     if not os.path.exists(os.path.join(split_dir, "zz_3.parquet")):
         import glob
         import shutil
