@@ -51,6 +51,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_sole_blame_suppliers",
     "t_unigram_logprob",
+    "t_bpe_train",
     "d_heavy_hitters",
     "q_scd2_apply",
     "s_kmeans",

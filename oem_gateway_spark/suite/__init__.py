@@ -73,8 +73,8 @@ _DRIVER_WINDOW = [
     "stream_stream_left_join",  # new: outer-row watermark-flush semantics
     # (q_scd2_apply, d_heavy_hitters, stream_locf, q_concurrent_intervals,
     # pipeline_data_prep_v2, m_frame_sample, m_media_resize,
-    # q4_order_priority_check, q13_customer_distribution — added after
-    # the 50 slots filled — head the r5 never-witnessed queue)
+    # q4_order_priority_check, q13_customer_distribution, t_bpe_train —
+    # added after the 50 slots filled — head the r5 never-witnessed queue)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",
     "stream_tumbling",

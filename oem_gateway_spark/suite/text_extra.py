@@ -630,3 +630,92 @@ def pipeline_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", "n_pii", "n_words", n_chunks.alias("n_chunks")
     )
+
+
+_BPE_WALK = """
+walk{k}(word, i, out) AS (
+  SELECT word, 1, CAST([] AS VARCHAR[]) FROM chars{k}
+  UNION ALL
+  SELECT w.word,
+         CASE WHEN w.i < len(c.s) AND c.s[w.i] = m.x AND c.s[w.i + 1] = m.y
+              THEN w.i + 2 ELSE w.i + 1 END,
+         w.out || CASE WHEN w.i < len(c.s) AND c.s[w.i] = m.x AND c.s[w.i + 1] = m.y
+                       THEN [c.s[w.i] || c.s[w.i + 1]] ELSE [c.s[w.i]] END
+  FROM walk{k} w JOIN chars{k} c USING (word) CROSS JOIN m{k} m
+  WHERE w.i <= len(c.s)
+),
+chars{k1} AS (SELECT w.word, c.wc, w.out AS s
+              FROM walk{k} w JOIN chars{k} c USING (word)
+              WHERE w.i = len(c.s) + 1)"""
+
+_BPE_PAIRS = """
+p{k} AS (SELECT s[i] AS x, s[i + 1] AS y, wc
+         FROM chars{k}, unnest(range(1, len(s))) AS u(i)),
+m{k} AS (SELECT x, y, n FROM (SELECT x, y, CAST(sum(wc) AS BIGINT) AS n
+                              FROM p{k} GROUP BY x, y
+                              ORDER BY n DESC, x, y LIMIT 1))"""
+
+
+@query(
+    "t_bpe_train",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT unnest({H.words_sql('text')}) AS word FROM documents),
+    wcs AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM toks GROUP BY word),
+    chars1 AS (SELECT word, wc,
+                      list_transform(range(1, length(word) + 1),
+                                     i -> substr(word, i, 1)) AS s
+               FROM wcs),
+    {_BPE_PAIRS.format(k=1)},
+    {_BPE_WALK.format(k=1, k1=2)},
+    {_BPE_PAIRS.format(k=2)},
+    {_BPE_WALK.format(k=2, k1=3)},
+    total AS (SELECT CAST(sum(len(s) * wc) AS BIGINT) AS n_symbols_after
+              FROM chars3)
+    SELECT 1 AS rank, m1.x AS lhs, m1.y AS rhs, m1.n AS pair_count,
+           total.n_symbols_after
+    FROM m1, total
+    UNION ALL
+    SELECT 2, m2.x, m2.y, m2.n, total.n_symbols_after FROM m2, total
+    """,
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, two merge steps (operators/bpe.py): count
+    frequency-weighted adjacent symbol pairs over the word dictionary,
+    take the deterministic argmax, greedily merge it everywhere (codegen
+    fold, exact non-overlapping left-to-right semantics), repeat.  The
+    output is the learned merge table plus the post-merge corpus symbol
+    count — every value integer/string-exact against the oracle's
+    recursive-CTE replay of the same loop (no tolerance anywhere).
+
+    Scale: iteration state is the VOCABULARY (distinct words x counts),
+    not the corpus — the corpus is read once for word counts; each merge
+    step is one pair-aggregate exchange over the dictionary plus a
+    map-only rewrite; the driver holds exactly one (pair, count) row per
+    step (same driver contract as clustering.kmeans_fit)."""
+    from oem_gateway_spark.operators import bpe as B
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    docs = _docs_spread(spark, sf_dir)
+    # the dictionary feeds every loop action (pair counts per step + the
+    # final symbol total): persist it so the corpus tokenizes ONCE — the
+    # at-scale contract (count words over 100 TB once, iterate on the
+    # vocabulary-sized dictionary).  Caller releases via release_caches.
+    wcs = (
+        docs.select(F.explode(H.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    ).persist()
+    merges = B.bpe_train(wcs, n_merges=2)
+    # re-derive the merged dictionary (map-only) for the symbol total
+    words = wcs.withColumn("s", B.chars_of("word"))
+    for _rank, x, y, _n in merges:
+        words = B.apply_merge(words, x, y)
+    total = words.agg(
+        F.sum(F.size("s") * F.col("wc")).alias("n_symbols_after")
+    )
+    rows = spark.createDataFrame(
+        [(r, x, y, n) for r, x, y, n in merges],
+        "rank int, lhs string, rhs string, pair_count bigint",
+    )
+    return _own_cache(rows.join(F.broadcast(total)), wcs)
