@@ -54,6 +54,17 @@ HEADLINE = [
     "t_bpe_train",
     "d_heavy_hitters",
     "q_scd2_apply",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "t_tfidf_top_terms",
+    "d_pagerank",
+    "q_data_profile",
+    "q_resample_interpolate",
+    "q_mad_outliers",
+    "d_triangles",
+    "q_cohort_retention",
+    "s_quantize_int8",
     "s_kmeans",
     "s_cosine_topk",
     "s_ann_lsh_topk",

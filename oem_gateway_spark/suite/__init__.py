@@ -26,6 +26,10 @@ from oem_gateway_spark.suite import udtf_cogroup  # noqa: F401,E402
 from oem_gateway_spark.suite import pipeline_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import text_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import tpch_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import tpch_partsupp  # noqa: F401,E402
+from oem_gateway_spark.suite import analytics_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import timeseries_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import behavior_extra  # noqa: F401,E402
 
 # First-50 driver window (see module docstring).  Round-4 order (VERDICT r3
 # #5/#10): never-witnessed queries first, then the 8 queries the r3 NTZ shift
@@ -73,7 +77,14 @@ _DRIVER_WINDOW = [
     "stream_stream_left_join",  # new: outer-row watermark-flush semantics
     # (q_scd2_apply, d_heavy_hitters, stream_locf, q_concurrent_intervals,
     # pipeline_data_prep_v2, m_frame_sample, m_media_resize,
-    # q4_order_priority_check, q13_customer_distribution, t_bpe_train —
+    # q4_order_priority_check, q13_customer_distribution, t_bpe_train,
+    # and the late-r4 additions — the adapted partsupp family
+    # q2_min_cost_supplier/q9_product_profit/q11_important_parts/
+    # q15_top_supplier/q16_part_supplier_counts/q20_promotion_suppliers
+    # (tpch_partsupp.py) and the analytics four t_tfidf_top_terms/
+    # d_pagerank/s_quantize_int8/q_data_profile (analytics_extra.py),
+    # q_resample_interpolate/q_mad_outliers (timeseries_extra.py),
+    # d_triangles/q_cohort_retention (behavior_extra.py) —
     # added after the 50 slots filled — head the r5 never-witnessed queue)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",

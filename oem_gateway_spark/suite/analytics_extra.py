@@ -1,0 +1,419 @@
+"""Analytics suite IV: corpus statistics, iterative graph ranking,
+embedding compression, and table profiling — four operator families a
+training-data pipeline leans on that the suite didn't yet witness.
+
+Cross-engine determinism notes (these queries compare hash-exact against
+DuckDB, so every float path is chosen to be bit-identical):
+
+- t_tfidf_top_terms uses the LOG-FREE idf variant ``tf / df`` (a pure
+  integer ratio -> one IEEE division, identical in both engines).
+  ``ln()`` is a libm call with no cross-library correct-rounding
+  guarantee — Java's Math.log and DuckDB's std::log can differ in the
+  last ulp, which is enough to flip a top-k near-tie.
+- d_pagerank emits ``rank * N`` (values O(1)) rounded to 6dp: the
+  per-iteration contribution sums accumulate in different orders across
+  engines, so the agreement bound is ~1e-12 — far inside the rounding.
+- s_quantize_int8 ranks by the QUANTIZED dot product, an exact integer
+  (|q| <= 127, 64 dims -> max 1,032,256 — exact in doubles), so the
+  candidate ranking cannot drift; only the final recall is a ratio.
+
+Ref: SURVEY.md §2.6 engine-beyond-reference surface (the reference
+gateway has no analytics of any kind).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.functions import vectors as V
+from oem_gateway_spark.suite.registry import query
+
+
+@query(
+    "t_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({H.words_sql('text')}) AS term FROM documents
+    ), tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT source, term, tf, df,
+             round(tf / df, 6) AS score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tf / df DESC, term) AS rk
+      FROM tf JOIN df USING (term)
+    )
+    SELECT source, term, tf, df, score
+    FROM scored WHERE rk <= 5
+    """,
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per corpus source: top-5 terms by tf-idf, where
+    idf is the log-free ``1/df`` variant (module docstring) — df counts
+    the number of SOURCES using the term, so terms every source shares
+    score low and source-specific vocabulary surfaces.
+
+    Plan: explode -> (source, term) counts is one shuffle with map-side
+    combine; the df table derives from the ALREADY-AGGREGATED tf result
+    (never re-scans the corpus) and is |vocab|-sized, re-aggregated on
+    term; the top-5 window partitions by source.  At 100 TB the exploded
+    token stream never materializes — it flows straight into the partial
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(H.words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score_raw", F.col("tf") / F.col("df")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_raw"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round("score_raw", 6).alias("score"),
+        )
+    )
+
+
+_PAGERANK_D = 0.85
+_PAGERANK_ITERS = 3
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey <> b.l_suppkey
+"""
+
+
+@query(
+    "d_pagerank",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / n.n AS r FROM nodes, n),
+    r1 AS (
+      SELECT e.dst AS id, (1 - {_PAGERANK_D}) / n.n
+             + {_PAGERANK_D} * sum(r0.r / deg.outdeg) AS r
+      FROM edges e JOIN r0 ON e.src = r0.id
+                   JOIN deg ON e.src = deg.src, n
+      GROUP BY e.dst, n.n
+    ),
+    r2 AS (
+      SELECT e.dst AS id, (1 - {_PAGERANK_D}) / n.n
+             + {_PAGERANK_D} * sum(r1.r / deg.outdeg) AS r
+      FROM edges e JOIN r1 ON e.src = r1.id
+                   JOIN deg ON e.src = deg.src, n
+      GROUP BY e.dst, n.n
+    ),
+    r3 AS (
+      SELECT e.dst AS id, (1 - {_PAGERANK_D}) / n.n
+             + {_PAGERANK_D} * sum(r2.r / deg.outdeg) AS r
+      FROM edges e JOIN r2 ON e.src = r2.id
+                   JOIN deg ON e.src = deg.src, n
+      GROUP BY e.dst, n.n
+    )
+    SELECT id AS suppkey, round(r * n.n, 6) AS rank_scaled
+    FROM r3, n
+    """,
+)
+def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-occurrence graph (suppliers are
+    linked when they ship lines of the same order — the symmetric
+    directed graph), {_PAGERANK_ITERS} fixed iterations, damping 0.85.
+    The iterative-join pattern every graph/embedding-propagation
+    pipeline needs; oracle unrolls the same iterations as CTEs.
+
+    Every node in the edge list has outdegree >= 1 (the graph is
+    symmetric), so there is no dangling mass and the simple update
+    rule is exact.  Output is rank * N (module docstring).
+
+    Plan: edges build from ONE self-join on orderkey and persist,
+    pre-partitioned on src; each iteration is one join (ranks x edges,
+    both sides partitioned on src/id — no re-shuffle of edges after the
+    first) plus one dst-aggregate.  Lineage stays 3 deep (fixed
+    iterations) so no checkpoint is needed; the unbounded-iteration
+    twin in operators/graph.py localCheckpoints per round.  At 100 TB
+    the edge list dominates: it shuffles once, then every iteration
+    reuses its partitioning — the same discipline as
+    operators/graph.py's connected components."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()  # scalar driver value: node count only
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("id"))
+            .agg(
+                (
+                    F.lit((1 - _PAGERANK_D) / n)
+                    + F.lit(_PAGERANK_D) * F.sum("c")
+                ).alias("r")
+            )
+        )
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    out = ranks.select(
+        F.col("id").alias("suppkey"),
+        F.round(F.col("r") * n, 6).alias("rank_scaled"),
+    )
+    # The edges persist must outlive the caller's action; the caller
+    # releases it (release_caches) after materializing — same ownership
+    # convention as the dedup operators.
+    return _own_cache(out, edges)
+
+
+_Q_INT8_TOPK = 10
+_Q_INT8_NQUERY = 8
+
+
+@query(
+    "s_quantize_int8",
+    oracle=f"""
+    WITH scale AS (
+      SELECT 127.0 / max(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))))) AS s
+      FROM embeddings
+    ),
+    quant AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * scale.s) AS BIGINT)) AS q
+      FROM embeddings, scale
+    ),
+    queries AS (SELECT * FROM quant WHERE vec_id < {_Q_INT8_NQUERY}),
+    cand AS (
+      SELECT qr.vec_id AS query_id, db.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY qr.vec_id
+                                ORDER BY {V.dot_sql_duckdb('qr.q', 'db.q')}
+                                         DESC, db.vec_id) AS rk
+      FROM queries qr JOIN quant db ON qr.vec_id <> db.vec_id
+    ),
+    exact AS (
+      SELECT qr.vec_id AS query_id, db.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY qr.vec_id
+                                ORDER BY {V.dot_sql_duckdb('qr.embedding',
+                                                           'db.embedding')}
+                                         DESC, db.vec_id) AS rk
+      FROM queries qr JOIN quant db ON qr.vec_id <> db.vec_id
+    )
+    SELECT c.query_id,
+           round(count(e.cand_id) / {_Q_INT8_TOPK}.0, 4) AS recall
+    FROM (SELECT * FROM cand WHERE rk <= {_Q_INT8_TOPK}) c
+      LEFT JOIN (SELECT * FROM exact WHERE rk <= {_Q_INT8_TOPK}) e
+        ON c.query_id = e.query_id AND c.cand_id = e.cand_id
+    GROUP BY c.query_id
+    """,
+)
+def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with an
+    in-engine recall audit: vectors compress 4x (float32 -> int8,
+    symmetric scale = 127/global-max-abs), the top-{_Q_INT8_TOPK}
+    neighbors of {_Q_INT8_NQUERY} probe queries are computed from the
+    QUANTIZED dot product, and the output is recall@{_Q_INT8_TOPK}
+    against the exact float ranking — the compression/recall tradeoff
+    measured inside the engine, the audit pattern s_ann_recall
+    established for LSH/IVF.
+
+    Quantized scores are exact integers (module docstring), so the
+    ranking is engine-independent; the exact ranking sums the float
+    dot in array order, identical in both engines.
+
+    Plan: the scale factor is one scalar aggregate broadcast back; the
+    {_Q_INT8_NQUERY}-query probe side broadcasts against the vector
+    table (linear scan — the documented-exact baseline, same contract
+    as s_cosine_topk); int8 arrays cut the scan's memory traffic 4x,
+    which is the actual point at 100 TB — the same audit runs on an
+    IVF-bucketed layout by swapping the candidate source."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = emb.agg(
+        (
+            F.lit(127.0)
+            / F.max(
+                F.array_max(
+                    F.transform(
+                        "embedding", lambda x: F.abs(x.cast("double"))
+                    )
+                )
+            )
+        ).alias("s")
+    )
+    quant = emb.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.col("s")).cast("long"),
+        ).alias("q"),
+    )
+    queries = quant.filter(F.col("vec_id") < _Q_INT8_NQUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = quant.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qq", "q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        qdot.alias("qscore"),
+        V.dot(F.col("qe"), F.col("embedding")).alias("escore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("cand_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("escore"), F.asc("cand_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(wq).alias("qrk"),
+        F.row_number().over(we).alias("erk"),
+    )
+    hits = ranked.filter(F.col("qrk") <= _Q_INT8_TOPK).groupBy("query_id").agg(
+        F.round(
+            F.sum(F.when(F.col("erk") <= _Q_INT8_TOPK, 1).otherwise(0))
+            / float(_Q_INT8_TOPK),
+            4,
+        ).alias("recall")
+    )
+    return hits
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the warehouse ``ANALYZE``/data-quality pass):
+    per-column row count, null count, distinct count, and min/max as
+    strings, over four orders columns of mixed type.  Doubles distinct-
+    count on exact cents and min/max on rounded values so both engines
+    see identical keys; numeric min/max render via a round-then-cast
+    (Spark and DuckDB print bare doubles differently).
+
+    Plan: ONE scan — all four columns' aggregates compute in a single
+    pass (Spark plans the multi-distinct via Expand, still one fact
+    read), vs the naive per-column re-scan.  The string min/max and
+    null counters are plain partial aggregates.  At 100 TB profiling
+    must not cost four scans; this shape is why."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def profile(col: str, distinct_expr: F.Column, min_s: F.Column, max_s: F.Column):
+        return [
+            F.count("*").alias(f"{col}__n"),
+            (F.count("*") - F.count(col)).alias(f"{col}__n_null"),
+            F.count_distinct(distinct_expr).alias(f"{col}__n_distinct"),
+            F.min(min_s).cast("string").alias(f"{col}__min_s"),
+            F.max(max_s).cast("string").alias(f"{col}__max_s"),
+        ]
+
+    aggs = (
+        profile("o_custkey", F.col("o_custkey"), F.col("o_custkey"), F.col("o_custkey"))
+        + profile(
+            "o_orderstatus",
+            F.col("o_orderstatus"),
+            F.col("o_orderstatus"),
+            F.col("o_orderstatus"),
+        )
+        + profile(
+            "o_orderpriority",
+            F.col("o_orderpriority"),
+            F.col("o_orderpriority"),
+            F.col("o_orderpriority"),
+        )
+        + profile("o_totalprice", cents, F.col("o_totalprice"), F.col("o_totalprice"))
+    )
+    wide = o.agg(*aggs)
+    # o_totalprice min/max must render rounded to 2dp to match the oracle.
+    wide = wide.withColumn(
+        "o_totalprice__min_s",
+        F.round(F.col("o_totalprice__min_s").cast("double"), 2).cast("string"),
+    ).withColumn(
+        "o_totalprice__max_s",
+        F.round(F.col("o_totalprice__max_s").cast("double"), 2).cast("string"),
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}'")
+        for suffix in ("n", "n_null", "n_distinct", "min_s", "max_s"):
+            stack_args.append(f"{c}__{suffix}")
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)})"
+            " AS (col, n, n_null, n_distinct, min_s, max_s)"
+        )
+    )
