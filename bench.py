@@ -64,6 +64,11 @@ HEADLINE = [
     "q_mad_outliers",
     "d_triangles",
     "q_cohort_retention",
+    "d_cluster_survivors",
+    "d_minhash_containment",
+    "q_linreg_per_node",
+    "d_lsh_recall_by_class",
+    "q_reachability",
     "s_quantize_int8",
     "s_kmeans",
     "s_cosine_topk",

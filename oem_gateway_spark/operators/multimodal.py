@@ -197,3 +197,57 @@ def resize_media(df: DataFrame, target_bytes: int = 192) -> DataFrame:
             )
 
     return df.select("doc_id", "media").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+CLASSIFY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("pred_class", IntegerType()),
+        StructField("score", LongType()),
+    ]
+)
+
+N_CLASSES = 4
+
+
+def batch_classify(df: DataFrame) -> DataFrame:
+    """Batched "model inference" over the media column via mapInPandas —
+    the plumbing a captioning/classification pass over 100 TB of media
+    needs: Arrow-batched input, vectorized per-batch scoring, small
+    typed output rows (the blob never leaves the executor).
+
+    The model itself is the deterministic stand-in this container
+    forces (no GPU, no weights): per-class logits are md5-derived
+    integers of the payload (md5(blob || ':' || class)[:8] as uint32),
+    argmax with lowest-class tiebreak.  A real model drops into the
+    same iterator — batch in, scores out — without touching the plan;
+    the md5 fake keeps the whole path ORACLE-CHECKABLE (the only
+    inference harness here whose outputs an independent engine can
+    replay bit-for-bit).
+    """
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = pdf["media"].map(lambda m: bytes(m["blob"]))
+
+            def score(b: bytes, c: int) -> int:
+                return int(
+                    hashlib.md5(b + f":{c}".encode()).hexdigest()[:8], 16
+                )
+
+            preds, scores = [], []
+            for b in blobs:
+                ss = [score(b, c) for c in range(N_CLASSES)]
+                mx = max(ss)
+                preds.append(ss.index(mx))  # lowest class wins ties
+                scores.append(mx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pred_class": pd.Series(preds, dtype="int32"),
+                    "score": pd.Series(scores, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "media").mapInPandas(_batches, CLASSIFY_SCHEMA)

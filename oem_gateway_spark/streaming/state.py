@@ -503,3 +503,106 @@ def node_counter_deltas(
         outputMode="Append",
         timeMode="None",
     )
+
+
+def ewma_stream(
+    stream: DataFrame,
+    key_col: str = "node",
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Stateful EWMA (alpha = 0.5) on a stream: per key, every row emits
+    ewma_t = 0.5*x_t + 0.5*ewma_{t-1}, seeded at the first reading and
+    carried ACROSS micro-batch boundaries (state = one double per key).
+
+    With alpha = 0.5 every decay weight is an exact power of two, and
+    the per-row recurrence is provably bit-identical to the batch
+    twin's scaled-window form (q_ewma_halflife): scaling by 2^k is
+    exact and commutes with each addition's rounding, so
+    fl(acc + x*2^(t-1)) * 2^-t == fl(0.5*ewma_prev + 0.5*x) by
+    induction.  The two implementations can therefore share ONE SQL
+    oracle with no tolerance — the unified-dialect contract the
+    streaming suite is built on.
+
+    State is O(1) per key; ``timeout_minutes=None`` for bounded
+    availableNow replays (see node_running_stats).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_ewma", DoubleType())])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["ts_ms", "event_id"], kind="stable", ignore_index=True
+        )
+        prev = state.get[0] if state.exists else None
+        out = []
+        # Explicit sequential recurrence: fl(0.5*x + 0.5*prev) each row —
+        # the exact operation order the bit-equality proof relies on
+        # (vectorized shortcuts like pandas .ewm() have their own
+        # accumulation internals and void the guarantee).
+        for x in pdf["value"].astype(float):
+            prev = x if prev is None else 0.5 * x + 0.5 * prev
+            out.append(prev)
+        state.update((float(prev),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "node": node,
+                "event_id": pdf["event_id"],
+                "ts_ms": pdf["ts_ms"],
+                "ewma": out,
+            }
+        )
+
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"CAST({id_col} AS LONG) AS event_id",
+            f"CAST({ts_ms_col} AS LONG) AS ts_ms",
+            f"CAST({value_col} AS DOUBLE) AS value",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )

