@@ -33,6 +33,7 @@ from oem_gateway_spark.suite import behavior_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import mlstats_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import quality_extra  # noqa: F401,E402
 from oem_gateway_spark.suite import robust_extra  # noqa: F401,E402
+from oem_gateway_spark.suite import cleaning_extra  # noqa: F401,E402
 
 # First-50 driver window (see module docstring).  Round-4 order (VERDICT r3
 # #5/#10): never-witnessed queries first, then the 8 queries the r3 NTZ shift
@@ -92,7 +93,7 @@ _DRIVER_WINDOW = [
     # q_corr_matrix/t_langid_confusion (mlstats_extra.py),
     # q_ewma_halflife/d_lsh_recall_by_class/q_reachability/stream_ewma
     # (quality_extra.py), stream_late_data/m_batch_classify
-    # (robust_extra.py) —
+    # (robust_extra.py), q_fuzzy_match (cleaning_extra.py) —
     # added after the 50 slots filled — head the r5 never-witnessed queue)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --
     "g_bulk_encode",

@@ -208,7 +208,15 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined against the visited set, so the per-round join input
     SHRINKS as the frontier saturates, rather than re-walking the
     whole reached set); depth-bounded lineage needs no checkpoint.
-    The oracle replays reachability as a recursive CTE."""
+    The oracle replays reachability as a recursive CTE.
+
+    Measured alternative (rejected): a broadcast-frontier variant that
+    skips edge materialization and semi-joins the raw fact each round
+    ran 2.5x SLOWER at sf0.1 — this co-occurrence graph is near
+    complete, the frontier saturates after one hop, and every round
+    re-scanned the fact.  Materialize edges when the walk will touch
+    most of the graph; skip materialization only for narrow probes
+    (small fan-out, very selective seeds)."""
     from oem_gateway_spark.operators.dedup import _own_cache
 
     li = (

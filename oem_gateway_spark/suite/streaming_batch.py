@@ -330,10 +330,26 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     across a genuine multi-batch run (not a single-batch replay).
     Driver row for the continuous-aggregation family (VERDICT r3:
     'streaming: continuous aggregation' was pytest-only)."""
+    import glob
     import shutil
+    import time
     import uuid
 
     from oem_gateway_spark.streaming.rollup import IncrementalRollup
+
+    # The store must outlive this call (the returned DataFrame reads it
+    # lazily), so each run leaks one store dir; GC stores/checkpoints
+    # from runs older than an hour — any caller's action has long
+    # completed by then.
+    cutoff = time.time() - 3600
+    for old_dir in glob.glob("/root/repo/.scratch/rollup-store-*") + glob.glob(
+        "/root/repo/.scratch/rollup-ckpt-*"
+    ):
+        try:
+            if os.path.getmtime(old_dir) < cutoff:
+                shutil.rmtree(old_dir, ignore_errors=True)
+        except OSError:
+            pass
 
     safe = sf_dir.strip("/").replace("/", "_")
     split_dir = os.path.join(
