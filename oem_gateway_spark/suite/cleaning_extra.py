@@ -80,3 +80,79 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("dirty_name", F.col("cand").alias("best_match"), F.col("dist").cast("int").alias("dist"))
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over PRE-BUCKETED tables: lineitem and orders
+    both saved bucketed+sorted on the order key (16 buckets, one file
+    per bucket), so the sort-merge join reads co-located buckets with
+    ZERO exchange — the shuffle moves to WRITE time, paid once,
+    amortized over every subsequent join on that key.  This is the
+    single biggest lever for a 100 TB star/snowflake layout
+    (test_bucketed_join_no_shuffle pins the exchange count at 1 — the
+    final aggregation only).  The SMJ's partition-local sorts remain
+    (Spark 3+ ignores bucket sort order by default,
+    spark.sql.legacy.bucketedTableScan.outputOrdering restores the
+    elision); they are in-partition, exchange-free, and spill-aware —
+    the cheap half of the join.
+
+    The bucketed copies rewrite once per session (the in-memory
+    catalog forgets table metadata between sessions; the bench's
+    repeat passes reuse them via tableExists)."""
+    import os
+
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_t, o_t = f"bkt_lineitem_{safe}", f"bkt_orders_{safe}"
+    base = "/root/repo/.scratch/bucketed"
+    os.makedirs(base, exist_ok=True)
+    if not spark.catalog.tableExists(li_t):
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            # repartition on the bucket hash first: one writer task per
+            # bucket -> ONE file per bucket -> the reader trusts the
+            # per-bucket sortBy order and elides the SMJ sorts too.
+            .repartition(16, F.col("l_orderkey"))
+            .write.bucketBy(16, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, li_t))
+            .mode("overwrite")
+            .saveAsTable(li_t)
+        )
+    if not spark.catalog.tableExists(o_t):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(16, F.col("o_orderkey"))
+            .write.bucketBy(16, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, o_t))
+            .mode("overwrite")
+            .saveAsTable(o_t)
+        )
+    # merge hint: at test SFs the orders side fits the broadcast
+    # threshold and Spark would pick BHJ, silently bypassing the
+    # bucketed path this query exists to prove; at 100 TB neither side
+    # broadcasts and SMJ is what the planner picks unhinted.
+    li = spark.table(li_t).hint("merge")
+    o = spark.table(o_t).hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

@@ -579,3 +579,13 @@ def test_q15_q20_fact_scanned_once(spark):
         df = REGISTRY[name].fn(spark, SF)
         text = explain_str(df)
         assert text.count("lineitem.parquet") <= 1, (name, text)
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Both sides pre-bucketed on the join key: the SMJ must consume
+    the bucketed scans directly — the only Exchange in the whole plan
+    is the final aggregation's."""
+    df = REGISTRY["q_bucketed_join"].fn(spark, SF)
+    text = explain_str(df)
+    assert "SortMergeJoin" in text, text
+    assert num_exchanges(df) == 1, text

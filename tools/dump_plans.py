@@ -60,6 +60,8 @@ QUERIES = [
     ("q_linreg_per_node", "OLS as one co-moment aggregate pass"),
     ("q_ewma_halflife", "EWMA as one weighted running window (exact 2^k scaling)"),
     ("q_reachability", "frontier BFS: shrinking anti-joined frontier, stationary edges"),
+    ("q_fuzzy_match", "blocked levenshtein argmin; edit distance only inside blocks"),
+    ("q_bucketed_join", "pre-bucketed SMJ: zero join exchange (write-time shuffle)"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
