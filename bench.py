@@ -69,6 +69,9 @@ HEADLINE = [
     "q_linreg_per_node",
     "d_lsh_recall_by_class",
     "q_reachability",
+    "d_ngram_jaccard",
+    "q_fuzzy_match",
+    "q_bucketed_join",
     "s_quantize_int8",
     "s_kmeans",
     "s_cosine_topk",

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Full-registry execution sweep: run EVERY registered query at a given
+scale factor (noop sink, no oracle) and report wall times, failures, and
+anything slower than a threshold.
+
+    python tools/sweep.py [--sf /root/testdata/sf0.1] [--slow 10]
+
+The bench (bench.py) times a curated headline subset; this sweeps the
+whole registry — it exists because scale cliffs hide in queries the
+bench doesn't watch (it found d_ngram_jaccard's interpreted-HOF
+quadratic: 351 s at sf0.1 for a query the bench never timed, fixed to
+3 s).  Run it once per round after correctness is green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--slow", type=float, default=10.0)
+    args = ap.parse_args()
+
+    from oem_gateway_spark import get_spark
+    from oem_gateway_spark.operators.dedup import release_caches
+    from oem_gateway_spark.suite import REGISTRY
+
+    spark = get_spark(app_name="registry-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    slow, failed = [], []
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        try:
+            df = spec.fn(spark, args.sf)
+            df.write.format("noop").mode("overwrite").save()
+            release_caches(df)
+            dt = time.perf_counter() - t0
+            print(f"{name} {dt:.2f}s", flush=True)
+            if dt > args.slow:
+                slow.append((name, round(dt, 2)))
+        except Exception as e:  # noqa: BLE001 - sweep must finish
+            failed.append(name)
+            print(f"{name} FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+    print(f"SWEEP DONE slow>{args.slow}s:", slow, "failed:", failed)
+
+
+if __name__ == "__main__":
+    main()
