@@ -93,7 +93,7 @@ _DRIVER_WINDOW = [
     # q_corr_matrix/t_langid_confusion (mlstats_extra.py),
     # q_ewma_halflife/d_lsh_recall_by_class/q_reachability/stream_ewma
     # (quality_extra.py), stream_late_data/m_batch_classify
-    # (robust_extra.py), q_fuzzy_match/q_bucketed_join
+    # (robust_extra.py), q_fuzzy_match/q_bucketed_join/t_length_profile
     # (cleaning_extra.py) —
     # added after the 50 slots filled — head the r5 never-witnessed queue)
     # -- red in r3 via the TIMESTAMP_NTZ shift; fixed at the catalog layer --

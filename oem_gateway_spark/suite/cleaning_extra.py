@@ -156,3 +156,62 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "t_length_profile",
+    oracle="""
+    WITH prof AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(quantile_cont(n_chars, 0.1), 4) AS p10,
+             round(quantile_cont(n_chars, 0.5), 4) AS p50,
+             round(quantile_cont(n_chars, 0.9), 4) AS p90
+      FROM documents GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.p10, p.p50, p.p90,
+           CAST(sum(CASE WHEN d.n_chars < p.p10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_p10
+    FROM prof p JOIN documents d ON d.source = p.source
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def t_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentile profile (p10/p50/p90 exact
+    interpolated percentiles) plus the count of docs under the source's
+    own p10 — the curation pass that decides per-source length cutoffs
+    before filtering (outlier-length docs are boilerplate or
+    truncation artifacts; a GLOBAL cutoff over-prunes short-form
+    sources, hence per-source).
+
+    Plan: exact grouped percentiles sort within each source group (one
+    user-key shuffle); the below-p10 count decorrelates to a join of
+    the per-source thresholds back onto documents — at 100 TB swap
+    approx_percentile in with the identical plan (q_mad_outliers'
+    note).  The oracle's correlated subquery is the agreement form,
+    not the plan."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    prof = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.1)"), 4).alias("p10"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+    )
+    below = (
+        docs.join(F.broadcast(prof.select("source", "p10")), "source")
+        .filter(F.col("n_chars") < F.col("p10"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_below_p10"))
+    )
+    return (
+        prof.join(below, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p10",
+            "p50",
+            "p90",
+            F.coalesce(F.col("n_below_p10"), F.lit(0))
+            .cast("long")
+            .alias("n_below_p10"),
+        )
+    )
