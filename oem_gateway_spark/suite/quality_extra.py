@@ -17,13 +17,36 @@ Determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.suite.llm import DOC_OFFSET
 from oem_gateway_spark.suite.registry import query
+
+
+def ewma_scaled_term() -> Column:
+    """The 2^t-scaled EWMA term over columns ``t``/``value``, guarded:
+    the exact-scaling trick overflows double past t ~ 1020, so any
+    series reaching t = 1000 fails the job loudly (raise_error is woven
+    into the term itself — column pruning cannot elide it) instead of
+    silently producing inf/NaN.  Unbounded series belong to the
+    stream_ewma O(1)-state twin, which never scales by 2^t."""
+    return (
+        F.when(
+            F.col("t") >= 1000,
+            F.raise_error(
+                F.lit(
+                    "q_ewma_halflife: series longer than 1000 rows would "
+                    "overflow the 2^t exact-scaling trick; use the "
+                    "stream_ewma O(1)-state twin for unbounded series"
+                )
+            ).cast("double"),
+        )
+        .when(F.col("t") == 1, F.col("value") * F.pow(F.lit(2.0), F.col("t")))
+        .otherwise(F.col("value") * F.pow(F.lit(2.0), F.col("t") - 1))
+    )
 
 
 @query(
@@ -79,19 +102,16 @@ def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trick making this a single window pass: accumulate
     # value * 2^t (exact scaling) and rescale by 2^-t_cur afterwards —
     # both scalings are exact powers of two, so this equals the direct
-    # sum term-for-term.  2^t overflows double at t ~ 1024; the
-    # filtered per-node series stays far below that (and the streaming
-    # twin is the production path for unbounded series).
+    # sum term-for-term.  2^t overflows double at t ~ 1024; the guard
+    # below fails the job loudly (instead of silently returning inf)
+    # if a series ever grows past t=1000 — unbounded series belong to
+    # the stream_ewma twin, whose O(1) recurrence never scales by 2^t.
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    scaled = seq.withColumn(
-        "term",
-        F.when(F.col("t") == 1, F.col("value") * F.pow(F.lit(2.0), F.col("t")))
-        .otherwise(F.col("value") * F.pow(F.lit(2.0), F.col("t") - 1)),
-    )
+    scaled = seq.withColumn("term", ewma_scaled_term())
     return (
         scaled.withColumn("acc", F.sum("term").over(w_run))
         .select(

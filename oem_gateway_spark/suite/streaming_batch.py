@@ -338,17 +338,29 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oem_gateway_spark.streaming.rollup import IncrementalRollup
 
     # The store must outlive this call (the returned DataFrame reads it
-    # lazily), so each run leaks one store dir; GC stores/checkpoints
-    # from runs older than an hour — any caller's action has long
-    # completed by then.
+    # lazily), so each run leaks one store dir.  GC is scoped to dirs
+    # whose OWNER PROCESS IS DEAD (each run drops an owner-PID marker
+    # next to its store) — pure mtime age could delete a store a long
+    # concurrent session (sweep/bench >1 h) still lazily references.
+    # Ownerless dirs (pre-marker legacy) keep the old 1-hour age rule.
+    from oem_gateway_spark.streaming.rollup import _pid_alive
+
     cutoff = time.time() - 3600
     for old_dir in glob.glob("/root/repo/.scratch/rollup-store-*") + glob.glob(
         "/root/repo/.scratch/rollup-ckpt-*"
     ):
+        owner_file = old_dir + ".owner"
         try:
-            if os.path.getmtime(old_dir) < cutoff:
+            if os.path.exists(owner_file):
+                with open(owner_file) as f:
+                    owner_pid = int(f.read().strip() or "0")
+                if owner_pid and _pid_alive(owner_pid):
+                    continue  # owner still running: store may be referenced
                 shutil.rmtree(old_dir, ignore_errors=True)
-        except OSError:
+                os.remove(owner_file)
+            elif os.path.getmtime(old_dir) < cutoff:
+                shutil.rmtree(old_dir, ignore_errors=True)
+        except (OSError, ValueError):
             pass
 
     safe = sf_dir.strip("/").replace("/", "_")
@@ -373,6 +385,11 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex
     store = os.path.join("/root/repo/.scratch", f"rollup-store-{run_id}")
     ckpt = os.path.join("/root/repo/.scratch", f"rollup-ckpt-{run_id}")
+    # Owner-PID markers scope the GC above: while this process lives,
+    # no other session may reap this run's store/checkpoint.
+    for owned in (store, ckpt):
+        with open(owned + ".owner", "w") as f:
+            f.write(str(os.getpid()))
     rollup = IncrementalRollup(store_dir=store, window="1 hour")
     q = (
         stream.writeStream.foreachBatch(rollup.process_batch)

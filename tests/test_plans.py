@@ -535,7 +535,10 @@ def test_q15_scalar_max_no_global_sort(spark):
     broadcast join — never a global sort or unpartitioned window."""
     df = REGISTRY["q15_top_supplier"].fn(spark, SF)
     text = explain_str(df)
-    assert "SinglePartition" not in text.split("TakeOrdered")[0] or True
+    # never a global sort: no range-partitioning exchange anywhere
+    assert "rangepartitioning" not in text, text
+    # the scalar max is the only single-partition exchange in the plan
+    assert text.count("SinglePartition") == 1, text
     assert has_broadcast_join(df)
     pushed = pushed_filters(df)
     assert any("l_shipdate" in p for p in pushed), pushed

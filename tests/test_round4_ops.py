@@ -44,6 +44,33 @@ def test_ewma_bit_identical_across_partitioning(spark):
         assert a[k] == b[k], f"{k}: {a[k]!r} != {b[k]!r}"
 
 
+def test_ewma_overflow_guard_fires(spark):
+    """Past t ~ 1020 the 2^t scaling overflows double; the guarded term
+    must FAIL LOUDLY at t >= 1000 instead of silently yielding inf
+    (ADVICE r4).  Below the cliff the guard is inert."""
+    from pyspark.errors import PySparkException
+
+    from oem_gateway_spark.suite.quality_extra import ewma_scaled_term
+
+    long_series = spark.range(1, 1101).select(
+        F.col("id").cast("int").alias("t"), F.lit(1.0).alias("value")
+    )
+    with pytest.raises(PySparkException, match="stream_ewma"):
+        long_series.select(ewma_scaled_term().alias("term")).agg(
+            F.sum("term")
+        ).collect()
+
+    short_series = spark.range(1, 900).select(
+        F.col("id").cast("int").alias("t"), F.lit(1.0).alias("value")
+    )
+    total = short_series.select(ewma_scaled_term().alias("term")).agg(
+        F.sum("term").alias("s")
+    ).collect()[0]["s"]
+    import math
+
+    assert math.isfinite(total)
+
+
 def test_triangle_backbone_degree_bounded(spark):
     """Every node's degree in the sparsified undirected backbone is at
     most 2*TOP_K (its own top-K picks plus at most K reverse picks)."""

@@ -49,6 +49,8 @@ def main() -> None:
             failed.append(name)
             print(f"{name} FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
     print(f"SWEEP DONE slow>{args.slow}s:", slow, "failed:", failed)
+    if failed:
+        sys.exit(1)  # scripted/CI callers must see failures in the status
 
 
 if __name__ == "__main__":
