@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.functions import hashing as H
 from oem_gateway_spark.functions import vectors as V
+from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_order_members
 from oem_gateway_spark.suite.registry import query
 
 
@@ -99,9 +100,10 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAGERANK_D = 0.85
 _PAGERANK_ITERS = 3
 
-_PR_EDGES_SQL = """
+_PR_EDGES_SQL = f"""
       SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      FROM ({COOC_MEMBERS_SQL}) a JOIN ({COOC_MEMBERS_SQL}) b
+        ON a.l_orderkey = b.l_orderkey
       WHERE a.l_suppkey <> b.l_suppkey
 """
 
@@ -160,13 +162,11 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list dominates: it shuffles once, then every iteration
     reuses its partitioning — the same discipline as
     operators/graph.py's connected components."""
-    # (order, supplier) dedup before the self-join — shrinks the pair
-    # blowup; the DISTINCT edge set is unchanged.
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    # (order, supplier) dedup AND per-order fanout cap before the
+    # self-join (suite/cooc.py — a hub order would otherwise emit
+    # |group|^2 pairs); the DISTINCT edge set is unchanged at any cap
+    # above the data's max order size.
+    li = capped_order_members(spark, sf_dir)
     a = li.alias("a")
     b = li.alias("b")
     edges = (

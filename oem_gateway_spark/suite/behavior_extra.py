@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_order_members
 from oem_gateway_spark.suite.registry import query
 
 # Top-K co-occurrence backbone: the raw co-occurrence graph over a
@@ -27,8 +28,7 @@ _TRI_EDGES_SQL = f"""
       WITH cooc AS (
         SELECT a.l_suppkey AS cu, b.l_suppkey AS cv,
                count(*) AS n_ord
-        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
-          JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        FROM ({COOC_MEMBERS_SQL}) a JOIN ({COOC_MEMBERS_SQL}) b
             ON a.l_orderkey = b.l_orderkey
         WHERE a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
@@ -86,15 +86,13 @@ def d_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a single count."""
     from pyspark.sql.window import Window
 
-    # (order, supplier) dedup BEFORE the self-join: an order's several
-    # lines from one supplier would otherwise multiply the pair rows
-    # quadratically; after the dedup the per-pair count is a plain
-    # count(*), no count-distinct expand.
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    # (order, supplier) dedup AND per-order fanout cap BEFORE the
+    # self-join (suite/cooc.py): an order's several lines from one
+    # supplier would otherwise multiply the pair rows quadratically,
+    # and a hub order would emit |group|^2 pairs even after dedup.
+    # After the capped dedup the per-pair count is a plain count(*),
+    # no count-distinct expand.
+    li = capped_order_members(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     cooc = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))

@@ -1,0 +1,78 @@
+"""Shared CAPPED co-occurrence membership for the supplier-graph family
+(q_reachability / d_pagerank / d_triangles).
+
+All three operators derive a supplier graph by self-joining the
+(order, supplier) membership relation on ``l_orderkey`` — which emits
+|group|^2 pairs PER ORDER.  On this testdata every order has <= 7
+suppliers, but at 100x scale a single hub key (one order / basket /
+session with 10^4 members) materializes 10^8 pairs before any
+downstream cap can help (VERDICT r4 'what's wrong' #1: unbounded group
+self-join, the scale-killer class).
+
+The fix is to bound the group BEFORE the self-join: each order
+contributes only its ``COOC_FANOUT_CAP`` smallest supplier keys.  The
+cap is deterministic (sorted by key, not sampled), applied identically
+in the Spark build and every DuckDB oracle, and far above the data's
+observed maximum — so at test scale the graph is bit-identical to the
+uncapped one, while at hub-key scale the per-order pair fanout is
+bounded by CAP^2 = 4096 rows.
+
+Recall contract: suppliers ranked beyond the cap within a mega-order
+lose the edges they share ONLY through that order; pairs co-occurring
+in any other (non-capped) order are unaffected.  Reachability may
+under-reach through a capped hub, PageRank loses that hub's excess
+contributions, triangles lose wedges confined to the hub — the same
+bounded-recall trade every capped/banded operator in this suite
+documents (d_triangles' _TRI_TOP_K backbone, the LSH band thresholds).
+
+Plan shape: ONE hash aggregation shuffled on ``l_orderkey``
+(map-side partial collect_set, so per-order dedup happens before the
+exchange), sort+slice caps the set, explode restores rows — and the
+output stays partitioned on ``l_orderkey``, exactly the key the
+self-join needs, so the join adds no further exchange on this side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+
+# Generous vs the data (max observed suppliers/order: 7) so the capped
+# graph is identical to the uncapped one at every test SF; tight enough
+# that a hub order's pair fanout is bounded at CAP^2.
+COOC_FANOUT_CAP = 64
+
+# DuckDB twin of capped_order_members() — distinct memberships, then
+# the CAP smallest supplier keys per order.
+COOC_MEMBERS_SQL = f"""
+      SELECT l_orderkey, l_suppkey
+      FROM (
+        SELECT l_orderkey, l_suppkey,
+               dense_rank() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_suppkey) AS r
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      )
+      WHERE r <= {COOC_FANOUT_CAP}
+"""
+
+
+def capped_order_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_suppkey) memberships, each order capped
+    to its ``COOC_FANOUT_CAP`` smallest supplier keys — the bounded
+    input every co-occurrence self-join in this suite starts from."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("l_suppkey")),
+                1,
+                COOC_FANOUT_CAP,
+            ).alias("members")
+        )
+        .select("l_orderkey", F.explode("members").alias("l_suppkey"))
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_order_members
 from oem_gateway_spark.suite.llm import DOC_OFFSET
 from oem_gateway_spark.suite.registry import query
 
@@ -189,9 +190,10 @@ def d_lsh_recall_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REACH_EDGES_SQL = """
+_REACH_EDGES_SQL = f"""
       SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      FROM ({COOC_MEMBERS_SQL}) a JOIN ({COOC_MEMBERS_SQL}) b
+        ON a.l_orderkey = b.l_orderkey
       WHERE a.l_suppkey <> b.l_suppkey
 """
 
@@ -236,14 +238,14 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete, the frontier saturates after one hop, and every round
     re-scanned the fact.  Materialize edges when the walk will touch
     most of the graph; skip materialization only for narrow probes
-    (small fan-out, very selective seeds)."""
+    (small fan-out, very selective seeds).
+
+    The membership relation is CAPPED per order before the self-join
+    (suite/cooc.py — VERDICT r4: a hub order would otherwise emit
+    |group|^2 pairs); recall contract documented there."""
     from oem_gateway_spark.operators.dedup import _own_cache
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    li = capped_order_members(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))

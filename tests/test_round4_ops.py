@@ -113,6 +113,25 @@ def test_triangle_backbone_degree_bounded(spark):
     assert max_deg <= 2 * _TRI_TOP_K
 
 
+def test_cooc_membership_fanout_capped(spark, tmp_path):
+    """The co-occurrence self-join input must bound per-order fanout
+    (VERDICT r4 #2): a hub order with 200 suppliers contributes only
+    its COOC_FANOUT_CAP smallest keys, so the pair blowup is CAP^2,
+    not |group|^2.  Normal orders pass through untouched."""
+    from oem_gateway_spark.suite.cooc import COOC_FANOUT_CAP, capped_order_members
+
+    rows = [(1, s) for s in range(1, 201)] + [(2, 7), (2, 3), (2, 7)]
+    spark.createDataFrame(rows, "l_orderkey INT, l_suppkey INT").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = capped_order_members(spark, str(tmp_path)).collect()
+    hub = sorted(r["l_suppkey"] for r in got if r["l_orderkey"] == 1)
+    assert len(hub) == COOC_FANOUT_CAP
+    assert hub == list(range(1, COOC_FANOUT_CAP + 1))  # smallest, deterministic
+    normal = sorted(r["l_suppkey"] for r in got if r["l_orderkey"] == 2)
+    assert normal == [3, 7]  # deduped, uncapped
+
+
 def test_pagerank_mass_conserved(spark):
     from oem_gateway_spark.operators.dedup import release_caches
     from oem_gateway_spark.suite.analytics_extra import d_pagerank
