@@ -132,6 +132,23 @@ def main() -> None:
         sum(t for q, t in timings.items() if q in R2_COMPARABLE), 3
     )
 
+    # Same discipline one generation later (VERDICT r4 #6): the 62
+    # queries BENCH_r04 timed, frozen by name so future rounds compare
+    # this wall with one subtraction even as the headline list grows.
+    import json as _json
+
+    r4_list_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r04.json"
+    )
+    try:
+        with open(r4_list_path) as f:
+            r4_names = set(_json.load(f)["parsed"]["queries"])
+    except (OSError, KeyError, ValueError):
+        r4_names = set()
+    r4_wall = round(
+        sum(t for q, t in timings.items() if q in r4_names), 3
+    )
+
     # Headline throughput vs the reference: frames parsed per second
     # through the full serial classify+parse+explode chain.  The reference
     # gateway caps at ~5 frames/s/listener (BASELINE.md: one read() per
@@ -149,6 +166,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r2_comparable_wall": r2_wall,
+                "r4_comparable_wall": r4_wall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "parse_frames_per_sec": frames_per_sec,
                 "reference_frames_per_sec": 5.0,

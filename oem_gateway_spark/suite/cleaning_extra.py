@@ -108,13 +108,25 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucketed copies rewrite once per session (the in-memory
     catalog forgets table metadata between sessions; the bench's
-    repeat passes reuse them via tableExists)."""
+    repeat passes reuse them via tableExists).  Table names and paths
+    are PER-PROCESS: two concurrent sessions writing one shared path
+    corrupt each other's bucket files mid-read (observed as a flaky
+    oracle mismatch under parallel pytest runs); dead-owner dirs are
+    reaped by PID liveness, same discipline as the rollup-store GC."""
     import os
+    import shutil
+
+    from oem_gateway_spark.streaming.rollup import _pid_alive
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    li_t, o_t = f"bkt_lineitem_{safe}", f"bkt_orders_{safe}"
+    pid = os.getpid()
+    li_t, o_t = f"bkt_lineitem_{safe}_{pid}", f"bkt_orders_{safe}_{pid}"
     base = "/root/repo/.scratch/bucketed"
     os.makedirs(base, exist_ok=True)
+    for entry in os.listdir(base):
+        owner = entry.rsplit("_", 1)[-1]
+        if owner.isdigit() and not _pid_alive(int(owner)):
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     if not spark.catalog.tableExists(li_t):
         (
             load_table(spark, sf_dir, "lineitem")

@@ -52,6 +52,14 @@ PROBES = [
     "d_minhash_containment",    # broadcast-pairs shingle intersection
     "d_cluster_survivors",      # CC + per-cluster argmax
     "t_tfidf_top_terms",        # tf agg + vocab-sized df join
+    # round-5 additions (VERDICT r4 #7):
+    "q_fuzzy_match",            # blocked levenshtein argmin — block sizes are
+                                # the risk; replicas clone the block-key
+                                # vocabulary (entity-growth axis: more blocks,
+                                # constant block size; see part replication)
+    "q_bucketed_join",          # bucketed SMJ — bucket count fixed at 16 while
+                                # data grows: per-bucket file size is the axis
+    "t_length_profile",         # two grouped exact percentiles + re-scan join
 ]
 
 
@@ -61,15 +69,23 @@ def _build_scaled(spark, sf_dir: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SCRATCH, f"x{factor}")
-    # _DONE_v2: v1 dirs lack the scaled lineitem/events added for the
-    # round-4 graph/time-series probes — rebuild them.
-    marker = os.path.join(out, "_DONE_v2")
+    # _DONE_v3: v2 dirs lack the scaled part/orders added for the round-5
+    # fuzzy-match/bucketed-join probes — rebuild (and clear the stale
+    # part/orders SYMLINKS v2 dirs hold, so the writes below never chase
+    # a link into the read-only testdata).
+    marker = os.path.join(out, "_DONE_v3")
     if os.path.exists(marker):
         return out
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pt = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     d_parts, e_parts = [], []
@@ -148,6 +164,38 @@ def _build_scaled(spark, sf_dir: str, factor: int) -> str:
     for p in e2_parts[1:]:
         sev = sev.unionByName(p)
     sev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    # part replicas: replica k appends k to the NAME (and so to its last
+    # word, the fuzzy-match blocking key) — the block-key vocabulary
+    # clones per replica, so blocks multiply while block SIZES stay
+    # constant.  This is the entity-growth axis (new entities bring new
+    # blocking keys: zip codes, domains); a fixed blocking vocabulary
+    # under k-fold entities would grow blocks k-fold and the in-block
+    # levenshtein k^2 — that regime is q_fuzzy_match's documented
+    # contract violation, not its scaling claim.
+    n_part = pt.agg(F.max("p_partkey")).collect()[0][0] + 1
+    p_parts = [
+        pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * n_part))
+        .withColumn(
+            "p_name",
+            F.concat(F.col("p_name"), F.lit(str(k))) if k else F.col("p_name"),
+        )
+        for k in range(factor)
+    ]
+    sp = p_parts[0]
+    for p in p_parts[1:]:
+        sp = sp.unionByName(p)
+    sp.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+    # orders replicas: o_orderkey shifts by the SAME k*n_ord stride as
+    # lineitem's l_orderkey, so the fact-fact join keys keep matching
+    # and per-key join selectivity is scale-invariant.
+    o_parts = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * n_ord))
+        for k in range(factor)
+    ]
+    so = o_parts[0]
+    for p in o_parts[1:]:
+        so = so.unionByName(p)
+    so.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     open(marker, "w").close()
     return out
 
