@@ -34,6 +34,12 @@ def main() -> None:
 
     spark = get_spark(app_name="registry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup (excluded from timings): without it the first
+    # registry entry eats the cold-start and reads ~2x its real wall
+    # (r5: q_reachability 14.6 s cold-first vs 6.2 s clean).
+    REGISTRY["q1_pricing_summary"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
     slow, failed = [], []
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()
