@@ -39,10 +39,12 @@ from oem_gateway_spark.suite import cleaning_extra  # noqa: F401,E402
 # #1/#3): the 38 queries that have NEVER had a driver CORRECTNESS row
 # (the late-r4 additions), ordered graph-family-first because their
 # edge builds changed this round (cooc.py fanout cap) and must be
-# re-proven under the new cap; then 12 rows from the r2-only-witnessed
+# re-proven under the new cap; then this round's three NEW queries
+# (q_skyline / q_hll_partial_merge / d_semdedup_centroid — new queries
+# outrank stale re-witness); then 9 rows from the r2-only-witnessed
 # stale set, led by d_ngram_jaccard whose implementation was rewritten
 # in r4 (interpreted-HOF fix) after its last driver row.  The remaining
-# 26 r2-stale rows plus the oldest r3 rows are the r6 queue (listed at
+# 29 r2-stale rows plus the oldest r3 rows are the r6 queue (listed at
 # the end of this comment block's tail note).
 _DRIVER_WINDOW = [
     "q_reachability",  # edge build re-capped this round (cooc.py)
@@ -83,28 +85,31 @@ _DRIVER_WINDOW = [
     "d_heavy_hitters",
     "pipeline_data_prep_v2",
     "t_bpe_train",
+    # new this round (never witnessed by construction)
+    "q_skyline",  # distributed Pareto frontier (aggregate-then-sort-filter)
+    "q_hll_partial_merge",  # mergeable-sketch rollup (DataSketches pattern)
+    "d_semdedup_centroid",  # SemDeDup: centroid-partitioned embedding dedup
+    # r2-stale re-witness (9 of 38; rest queued for r6)
     "d_ngram_jaccard",  # impl rewritten r4 (HOF fix) AFTER its last driver row
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_json_funcs",
     "q_rollup",
-    "s_cosine_topk",
     "m_multimodal_features",
     "g_fanout_union",
     "g_reject_stats",
-    "q_string_funcs",
-    "q_date_funcs",
-    # r6 queue — the 26 r2-stale rows not re-witnessed this round
+    # r6 queue — the 29 r2-stale rows not re-witnessed this round
     # (d_exact_dedup_groups, d_minhash_signature, d_simhash, q_anti_join,
-    # q_array_funcs, q_cross_join_pairs, q_cube, q_dedup_keep_first,
-    # q_distinct_agg, q_global_topk, q_grouping_sets, q_math_funcs,
-    # q_outer_join_coalesce, q_pivot_conditional, q_range_join,
-    # q_semi_join, q_setops, q_stats_agg, q_window_rank_ntile,
-    # q_window_running_sum, q_window_topk_per_group, s_ann_lsh_topk,
-    # s_embedding_neardup, t_fingerprint, t_langid, t_text_stats),
-    # then the oldest r3-witnessed rows.  At 50 slots/round and 167
-    # queries the steady-state witness age is ceil(167/50) ~ 4 rounds;
+    # q_array_funcs, q_cross_join_pairs, q_cube, q_date_funcs,
+    # q_dedup_keep_first, q_distinct_agg, q_global_topk, q_grouping_sets,
+    # q_math_funcs, q_outer_join_coalesce, q_pivot_conditional,
+    # q_range_join, q_semi_join, q_setops, q_stats_agg, q_string_funcs,
+    # q_window_rank_ntile, q_window_running_sum, q_window_topk_per_group,
+    # s_ann_lsh_topk, s_cosine_topk, s_embedding_neardup, t_fingerprint,
+    # t_langid, t_text_stats),
+    # then the oldest r3-witnessed rows.  At 50 slots/round and 170
+    # queries the steady-state witness age is ceil(170/50) ~ 4 rounds;
     # never-witnessed and impl-changed queries always pre-empt.
 ]
 

@@ -428,3 +428,114 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col, n, n_null, n_distinct, min_s, max_s)"
         )
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT r.p_partkey, r.p_retailprice, CAST(r.p_size AS INT) AS p_size
+    FROM part r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part s
+      WHERE s.p_retailprice >= r.p_retailprice AND s.p_size >= r.p_size
+        AND (s.p_retailprice > r.p_retailprice OR s.p_size > r.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (p_retailprice, p_size) — s dominates r iff s is >= on both
+    dimensions and strictly > on at least one.  The multi-objective
+    shortlist shape (price/quality, cost/recall, size/score) that a
+    naive formulation computes as an O(n^2) dominance anti-join.
+
+    Decomposition that scales: (1) per-x aggregation — for every
+    distinct price, the max size at that price (one hash shuffle on x;
+    rows at a price below its own max are dominated by x-equal rows);
+    (2) the frontier recurrence on the AGGREGATED table — a price
+    survives iff its max-size strictly exceeds every max-size at any
+    higher price, i.e. a running-max window over distinct prices sorted
+    descending.  That pass is a global window but runs on |distinct x|
+    rows, not n (the classic sort-filter skyline, post-aggregation);
+    (3) broadcast the surviving (x, ymax) pairs back to recover row
+    identity.  At 100 TB step 2's input is bounded by the x-domain
+    cardinality — if x is continuous, pre-bucket it (the
+    grid-partitioned skyline) and run exact dominance only across
+    bucket frontiers.  The oracle replays the quadratic NOT EXISTS
+    definition (needn't scale, only agree)."""
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    xmax = pt.groupBy("p_retailprice").agg(F.max("p_size").alias("ymax"))
+    w_run = (
+        Window.orderBy(F.desc("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_x = (
+        xmax.withColumn("prev_max", F.max("ymax").over(w_run))
+        .filter(
+            F.col("prev_max").isNull() | (F.col("ymax") > F.col("prev_max"))
+        )
+        .select(F.col("p_retailprice").alias("fx"), F.col("ymax").alias("fy"))
+    )
+    return (
+        pt.join(
+            F.broadcast(frontier_x),
+            (F.col("p_retailprice") == F.col("fx"))
+            & (F.col("p_size") == F.col("fy")),
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+    )
+
+
+@query(
+    "q_hll_partial_merge",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS quarter,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS merged_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (the Apache DataSketches pattern):
+    per-month HLL sketches of distinct parts shipped, merged upward to
+    quarters with hll_union_agg — the two-phase distinct-count
+    architecture every warehouse runs at scale, where daily partials
+    are materialized once and every coarser rollup merges kilobyte
+    sketches instead of rescanning raw keys.  The month->quarter merge
+    here IS that contract: the quarter estimate is computed only from
+    the month sketches.
+
+    Oracle strategy (the q_approx_distinct tolerance pattern): the
+    sketch estimate is engine-specific, so the query emits the exact
+    per-quarter distinct count plus a within-5%-of-exact boolean for
+    the MERGED estimate; the oracle emits the exact count and literal
+    TRUE.  Hash-green iff merging month sketches loses nothing beyond
+    the HLL error bound."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        F.date_trunc("quarter", "l_shipdate").alias("quarter"),
+        "l_partkey",
+    )
+    monthly = li.groupBy("quarter", "month").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = monthly.groupBy("quarter").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy("quarter").agg(
+        F.count_distinct("l_partkey").alias("exact_parts")
+    )
+    return exact.join(merged, "quarter").select(
+        "quarter",
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts")) / F.col("exact_parts")
+            < 0.05
+        ).alias("merged_ok"),
+    )

@@ -309,3 +309,123 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("frac"),
     )
+
+
+_SEM_K = 8  # fixed seed centroids: the embeddings with vec_id < K
+_SEM_THRESH = 0.9999  # colinear-copy gap (s_embedding_neardup's contract)
+
+
+def _semdedup_oracle() -> str:
+    from oem_gateway_spark.functions import vectors as V
+    from oem_gateway_spark.suite.llm import DOC_OFFSET
+
+    cos_cent = V.cosine_sql_duckdb("e.embedding", "cent.cv")
+    cos_pair = V.cosine_sql_duckdb("ea.embedding", "eb.embedding")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {DOC_OFFSET},
+             list_transform(embedding, x -> x * 0.5e0 :: FLOAT)
+      FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             WHERE vec_id < {_SEM_K}),
+    scored AS (
+      SELECT e.vec_id, cent.cid, {cos_cent} AS cos
+      FROM corpus e CROSS JOIN cent),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT a.cid, b.vec_id AS victim
+      FROM assign a JOIN assign b USING (cid)
+        JOIN corpus ea ON ea.vec_id = a.vec_id
+        JOIN corpus eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id < b.vec_id AND {cos_pair} >= {_SEM_THRESH})
+    SELECT a.cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(d.victim) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.victim) AS BIGINT) AS n_survivors
+    FROM assign a LEFT JOIN dropped d
+      ON d.cid = a.cid AND d.victim = a.vec_id
+    GROUP BY 1
+    """
+
+
+@query("d_semdedup_centroid", oracle=_semdedup_oracle())
+def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: partition the embedding space by
+    nearest centroid, then deduplicate ONLY within clusters — the
+    technique that makes embedding-space dedup tractable (pairwise
+    cosine across 100 TB is n^2; within k balanced clusters it is
+    n^2/k, and k grows with the corpus so cluster size — and the
+    quadratic's base — stays CONSTANT).  Centroids here are fixed
+    seeds (vec_id < {_SEM_K}) rather than trained, keeping the oracle
+    closed-form; s_kmeans owns the training loop.
+
+    The corpus embeds constructed duplicates (0.5x colinear copies,
+    cosine exactly 1 with their source — s_embedding_neardup's
+    determinism contract), so every copy lands in its source's cluster
+    and is dropped by keep-lowest-id at the 0.9999 threshold; natural
+    pairs stay far below it.
+
+    Plan: centroid assignment is a broadcast crossJoin (k rows) + one
+    per-vector argmax — map-only; the within-cluster pair join
+    shuffles once on cluster id.  Per-cluster counts close it out."""
+    from oem_gateway_spark.functions import vectors as V
+    from oem_gateway_spark.suite.llm import DOC_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copy = emb.select(
+        (F.col("vec_id") + DOC_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(copy)
+    cent = emb.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        V.cosine_pandas(F.col("embedding"), F.col("cv")).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(V.cosine_pandas(F.col("ea"), F.col("eb")) >= _SEM_THRESH)
+        .select(F.col("cid").alias("d_cid"), F.col("id_b").alias("victim"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            dropped,
+            (F.col("cid") == F.col("d_cid"))
+            & (F.col("vec_id") == F.col("victim")),
+            "left",
+        )
+        .groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("victim").alias("n_dropped"),
+            (F.count("*") - F.count("victim")).alias("n_survivors"),
+        )
+    )
