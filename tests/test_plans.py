@@ -124,16 +124,26 @@ def test_asof_join_linear_plan(spark):
     assert num_exchanges(df) == 1, text
 
 
-def test_fan_out_noop_on_parallel_input(spark):
+def test_fan_out_noop_on_parallel_input(spark, tmp_path):
     """_fan_out must not add a shuffle when the source already delivers
-    enough splits (the real-scale case: thousands of parquet splits)."""
+    enough splits (the real-scale case: thousands of parquet splits) —
+    decided from file metadata alone, no RDD materialization."""
     from oem_gateway_spark.suite import gateway as GW
 
     par = spark.sparkContext.defaultParallelism
-    wide = spark.range(1000).repartition(par)
-    assert GW._fan_out(wide) is wide
-    narrow = spark.range(1000).coalesce(1)
-    assert GW._fan_out(narrow).rdd.getNumPartitions() == par
+    df = spark.range(1000)
+    # single small file -> est_splits < target -> repartition to target
+    spark.range(100).coalesce(1).write.parquet(
+        str(tmp_path / "narrow" / "lineitem.parquet")
+    )
+    out = GW._fan_out(df, str(tmp_path / "narrow"))
+    assert out is not df
+    assert out.rdd.getNumPartitions() == par
+    # one file per core -> est_splits >= target -> strict no-op
+    spark.range(10 * par).repartition(par).write.parquet(
+        str(tmp_path / "wide" / "lineitem.parquet")
+    )
+    assert GW._fan_out(df, str(tmp_path / "wide")) is df
 
 
 def test_simhash_pairs_banded_plan(spark):
@@ -592,3 +602,35 @@ def test_bucketed_join_no_shuffle(spark):
     text = explain_str(df)
     assert "SortMergeJoin" in text, text
     assert num_exchanges(df) == 1, text
+
+
+def test_skyline_bounded_global_pass(spark):
+    """The skyline's only single-partition work is the frontier
+    recurrence over DISTINCT prices (aggregated input, bounded by the
+    x-domain); row recovery is a broadcast join, never a global sort
+    of the base table."""
+    df = REGISTRY["q_skyline"].fn(spark, SF)
+    text = explain_str(df)
+    assert has_broadcast_join(df)
+    assert text.count("SinglePartition") == 1, text
+    assert "rangepartitioning" not in text, text
+
+
+def test_hll_merge_is_two_scans(spark):
+    """Sketch build + exact-twin audit: exactly two scans of the fact
+    (production drops the exact twin and keeps one)."""
+    df = REGISTRY["q_hll_partial_merge"].fn(spark, SF)
+    text = explain_str(df)
+    assert text.count("lineitem.parquet") == 2, text
+    assert "hll_union_agg" in text or "hll_sketch" in text.lower(), text
+
+
+def test_semdedup_centroids_broadcast(spark):
+    """Centroid assignment must broadcast the k seed vectors (the
+    k-row crossJoin plans as a broadcast nested-loop); the only keyed
+    shuffles are the per-vector argmax window and the within-cluster
+    pair join."""
+    df = REGISTRY["d_semdedup_centroid"].fn(spark, SF)
+    text = explain_str(df)
+    assert "BroadcastExchange" in text, text
+    assert "rangepartitioning" not in text, text

@@ -62,6 +62,9 @@ QUERIES = [
     ("q_reachability", "frontier BFS: shrinking anti-joined frontier, stationary edges"),
     ("q_fuzzy_match", "blocked levenshtein argmin; edit distance only inside blocks"),
     ("q_bucketed_join", "pre-bucketed SMJ: zero join exchange (write-time shuffle)"),
+    ("q_skyline", "skyline: per-x agg, frontier pass on distinct x only, broadcast back"),
+    ("q_hll_partial_merge", "mergeable HLL rollup: month sketches union to quarters"),
+    ("d_semdedup_centroid", "broadcast centroids; pair join shuffles on cluster id"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
