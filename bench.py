@@ -80,6 +80,10 @@ HEADLINE = [
     "s_ivf_nprobe",
     "pipeline_data_prep",
     "pipeline_data_prep_v2",
+    # round-5 additions
+    "q_skyline",
+    "q_hll_partial_merge",
+    "d_semdedup_centroid",
 ]
 
 

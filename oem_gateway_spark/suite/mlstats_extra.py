@@ -397,10 +397,14 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cos"), F.asc("cid")
     )
+    # assign feeds BOTH pair-join sides and the final per-cluster count;
+    # persist so the crossJoin + Arrow cosine + argmax window run once
+    # (2.3x wall at sf0.1 otherwise; caller releases via release_caches).
     assign = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "embedding")
+        .persist()
     )
     a = assign.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
@@ -415,7 +419,9 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").alias("d_cid"), F.col("id_b").alias("victim"))
         .distinct()
     )
-    return (
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    out = (
         assign.join(
             dropped,
             (F.col("cid") == F.col("d_cid"))
@@ -429,3 +435,4 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("victim")).alias("n_survivors"),
         )
     )
+    return _own_cache(out, assign)
