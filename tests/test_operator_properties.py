@@ -142,3 +142,55 @@ def test_locf_state_chain_equals_global_ffill():
         assert len(got) == len(expect)
         for a, b in zip(got, expect):
             assert (m.isnan(a) and m.isnan(b)) or a == b, (trial, got, expect)
+
+
+def test_skyline_decomposition_equals_brute_force(spark, tmp_path):
+    """The skyline's scalable decomposition (per-x max, frontier pass on
+    distinct x, join back) must equal the O(n^2) dominance definition on
+    random data with heavy ties — the regime where per-x dedup and the
+    strict/non-strict boundary are easiest to get wrong."""
+    rng = random.Random(42)
+    rows = [
+        (i, float(rng.randint(0, 20)), rng.randint(0, 10))
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey INT, p_retailprice DOUBLE, p_size INT"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    from oem_gateway_spark.suite.analytics_extra import q_skyline
+
+    got = {
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in q_skyline(spark, str(tmp_path)).collect()
+    }
+
+    def dominated(r):
+        return any(
+            s[1] >= r[1] and s[2] >= r[2] and (s[1] > r[1] or s[2] > r[2])
+            for s in rows
+        )
+
+    want = {r for r in rows if not dominated(r)}
+    assert got == want
+
+
+def test_semdedup_drops_exactly_the_constructed_copies(spark):
+    """Every colinear copy must be dropped (its source has the lower id
+    and cosine exactly 1); no original may be dropped (natural cosines
+    sit far below the threshold).  Cluster-level: n_dropped equals the
+    cluster's copy count, survivors equal its original count."""
+    from oem_gateway_spark.operators.dedup import release_caches
+    from oem_gateway_spark.suite.mlstats_extra import d_semdedup_centroid
+
+    out = d_semdedup_centroid(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    release_caches(out)
+    total_vec = sum(r["n_vectors"] for r in rows)
+    total_drop = sum(r["n_dropped"] for r in rows)
+    assert total_vec % 2 == 0  # corpus = originals + copies
+    assert total_drop == total_vec // 2, rows  # exactly the copies
+    for r in rows:
+        assert r["n_survivors"] == r["n_vectors"] - r["n_dropped"]
+        # copies land in their source's cluster: every cluster is half copies
+        assert r["n_dropped"] * 2 == r["n_vectors"], r

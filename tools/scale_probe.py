@@ -60,6 +60,13 @@ PROBES = [
     "q_bucketed_join",          # bucketed SMJ — bucket count fixed at 16 while
                                 # data grows: per-bucket file size is the axis
     "t_length_profile",         # two grouped exact percentiles + re-scan join
+    "q_skyline",                # frontier pass bounded by distinct-x, not n
+    "q_hll_partial_merge",      # sketch partials: merge cost ~ #months, flat
+    "d_semdedup_centroid",      # within-cluster pairs: n^2/k with FIXED k here,
+                                # so the honest expectation is exponent -> 2 as
+                                # clusters grow; at 100 TB k grows with the
+                                # corpus (s_kmeans path) keeping cluster size
+                                # constant — watch this row for the k contract
 ]
 
 
