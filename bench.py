@@ -139,19 +139,19 @@ def main() -> None:
     # Same discipline one generation later (VERDICT r4 #6): the 62
     # queries BENCH_r04 timed, frozen by name so future rounds compare
     # this wall with one subtraction even as the headline list grows.
-    import json as _json
-
+    # null (not 0.0) when the r4 artifact is absent — a missing baseline
+    # must never read as an infinite speedup.
     r4_list_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_r04.json"
     )
     try:
         with open(r4_list_path) as f:
-            r4_names = set(_json.load(f)["parsed"]["queries"])
+            r4_names = set(json.load(f)["parsed"]["queries"])
+        r4_wall = round(
+            sum(t for q, t in timings.items() if q in r4_names), 3
+        )
     except (OSError, KeyError, ValueError):
-        r4_names = set()
-    r4_wall = round(
-        sum(t for q, t in timings.items() if q in r4_names), 3
-    )
+        r4_wall = None
 
     # Headline throughput vs the reference: frames parsed per second
     # through the full serial classify+parse+explode chain.  The reference

@@ -120,12 +120,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     pid = os.getpid()
-    li_t, o_t = f"bkt_lineitem_{safe}_{pid}", f"bkt_orders_{safe}_{pid}"
+    # 'pid' prefix makes the owner segment unambiguous: legacy dirs end
+    # in SF digits ('..._sf0_001') which a bare rsplit would misparse as
+    # PID 1 (always alive -> never reaped; code-review r5).
+    li_t, o_t = f"bkt_lineitem_{safe}_pid{pid}", f"bkt_orders_{safe}_pid{pid}"
     base = "/root/repo/.scratch/bucketed"
     os.makedirs(base, exist_ok=True)
     for entry in os.listdir(base):
-        owner = entry.rsplit("_", 1)[-1]
-        if owner.isdigit() and not _pid_alive(int(owner)):
+        tail = entry.rsplit("_", 1)[-1]
+        if tail.startswith("pid") and tail[3:].isdigit():
+            if not _pid_alive(int(tail[3:])):
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        else:
+            # pre-PID naming: no live process can still reference these
+            # (every current session writes pid-suffixed dirs).
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     if not spark.catalog.tableExists(li_t):
         (

@@ -25,6 +25,27 @@ from oem_gateway_spark.functions import frames_pandas as FP
 from oem_gateway_spark.suite.registry import query
 
 
+def _parse_byte_string(raw: str) -> int:
+    """Spark size-conf strings: bare bytes ('134217728'), or a unit
+    suffix ('128m', '1g', '134217728b', case-insensitive).  Stripping
+    digits naively would read '128m' as 128 BYTES and silently disable
+    the fan-out below (code-review r5)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]*)\s*", raw.lower())
+    if not m:
+        return 134217728
+    units = {
+        "": 1, "b": 1,
+        "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40,
+    }
+    mult = units.get(m.group(2))
+    return int(m.group(1)) * mult if mult else 134217728
+
+
 def _fan_out(df: DataFrame, sf_dir: str, table: str = "lineitem") -> DataFrame:
     """Spread synthesized frames across all cores before the CPU-bound
     parse chain — but ONLY when the source underdelivers parallelism.
@@ -50,8 +71,7 @@ def _fan_out(df: DataFrame, sf_dir: str, table: str = "lineitem") -> DataFrame:
         if os.path.isfile(f)
     ]
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
-    max_pb = int(digits)
+    max_pb = _parse_byte_string(raw)
     total = sum(os.path.getsize(f) for f in files)
     est_splits = max(len(files), -(-total // max_pb)) if files else 1
     if est_splits >= target:

@@ -349,18 +349,31 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for old_dir in glob.glob("/root/repo/.scratch/rollup-store-*") + glob.glob(
         "/root/repo/.scratch/rollup-ckpt-*"
     ):
+        if old_dir.endswith(".owner"):
+            # orphan marker whose dir is already gone: clean it up here
+            # (the glob matches markers too; rmtree on one is a no-op).
+            if not os.path.isdir(old_dir[: -len(".owner")]):
+                try:
+                    os.remove(old_dir)
+                except OSError:
+                    pass
+            continue
         owner_file = old_dir + ".owner"
         try:
             if os.path.exists(owner_file):
-                with open(owner_file) as f:
-                    owner_pid = int(f.read().strip() or "0")
+                try:
+                    with open(owner_file) as f:
+                        owner_pid = int(f.read().strip() or "0")
+                except ValueError:
+                    owner_pid = 0  # corrupt marker (partial write): treat
+                    # the run as dead — don't let it pin the dir forever
                 if owner_pid and _pid_alive(owner_pid):
                     continue  # owner still running: store may be referenced
                 shutil.rmtree(old_dir, ignore_errors=True)
                 os.remove(owner_file)
             elif os.path.getmtime(old_dir) < cutoff:
                 shutil.rmtree(old_dir, ignore_errors=True)
-        except (OSError, ValueError):
+        except OSError:
             pass
 
     safe = sf_dir.strip("/").replace("/", "_")
