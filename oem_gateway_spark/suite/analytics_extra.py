@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.functions import hashing as H
 from oem_gateway_spark.functions import vectors as V
-from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_order_members
+from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_cooc_edges
 from oem_gateway_spark.suite.registry import query
 
 
@@ -163,23 +163,10 @@ def d_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses its partitioning — the same discipline as
     operators/graph.py's connected components."""
     # (order, supplier) dedup AND per-order fanout cap before the
-    # self-join (suite/cooc.py — a hub order would otherwise emit
-    # |group|^2 pairs); the DISTINCT edge set is unchanged at any cap
-    # above the data's max order size.
-    li = capped_order_members(spark, sf_dir)
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
+    # self-join, repartition-then-dedup shuffle elision — both shared
+    # with q_reachability (suite/cooc.py); the DISTINCT edge set is
+    # unchanged at any cap above the data's max order size.
+    edges = capped_cooc_edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("id")).distinct()
     n = nodes.count()  # scalar driver value: node count only

@@ -58,6 +58,32 @@ COOC_MEMBERS_SQL = f"""
 """
 
 
+def capped_cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct directed co-occurrence edge set (src, dst), built
+    from the capped memberships and already partitioned on ``src`` —
+    the input both iterative graph operators (reachability, PageRank)
+    persist and re-join every round.
+
+    Shuffle order matters: ``repartition(src)`` FIRST, then
+    ``dropDuplicates([src, dst])`` — hash-partitioning on src satisfies
+    the (src, dst) clustering requirement, so the dedup aggregate runs
+    partition-local with no second exchange (measured: 8 -> 6 shuffle
+    exchanges vs the distinct()-then-repartition order, and the output
+    partitioning is exactly what the iteration joins need)."""
+    li = capped_order_members(spark, sf_dir)
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def capped_order_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (l_orderkey, l_suppkey) memberships, each order capped
     to its ``COOC_FANOUT_CAP`` smallest supplier keys — the bounded

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oem_gateway_spark.catalog import load_table
-from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_order_members
+from oem_gateway_spark.suite.cooc import COOC_MEMBERS_SQL, capped_cooc_edges
 from oem_gateway_spark.suite.llm import DOC_OFFSET
 from oem_gateway_spark.suite.registry import query
 
@@ -242,21 +242,11 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The membership relation is CAPPED per order before the self-join
     (suite/cooc.py — VERDICT r4: a hub order would otherwise emit
-    |group|^2 pairs); recall contract documented there."""
+    |group|^2 pairs); recall contract and the repartition-then-dedup
+    shuffle-elision documented there."""
     from oem_gateway_spark.operators.dedup import _own_cache
 
-    li = capped_order_members(spark, sf_dir)
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
+    edges = capped_cooc_edges(spark, sf_dir).persist()
     seed = edges.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).alias("min_depth")
     )
