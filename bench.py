@@ -84,6 +84,8 @@ HEADLINE = [
     "q_skyline",
     "q_hll_partial_merge",
     "d_semdedup_centroid",
+    "d_group_split",
+    "q_skew_diagnostics",
 ]
 
 

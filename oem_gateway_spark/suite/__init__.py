@@ -108,8 +108,10 @@ _DRIVER_WINDOW = [
     # q_window_rank_ntile, q_window_running_sum, q_window_topk_per_group,
     # s_ann_lsh_topk, s_cosine_topk, s_embedding_neardup, t_fingerprint,
     # t_langid, t_text_stats),
-    # then the oldest r3-witnessed rows.  At 50 slots/round and 170
-    # queries the steady-state witness age is ceil(170/50) ~ 4 rounds;
+    # then the oldest r3-witnessed rows; d_group_split and
+    # q_skew_diagnostics (added after the 50 slots filled) HEAD the r6
+    # never-witnessed queue.  At 50 slots/round and 172 queries the
+    # steady-state witness age is ceil(172/50) ~ 4 rounds;
     # never-witnessed and impl-changed queries always pre-empt.
 ]
 

@@ -526,3 +526,56 @@ def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.05
         ).alias("merged_ok"),
     )
+
+
+@query(
+    "q_skew_diagnostics",
+    oracle="""
+    WITH kv AS (
+      SELECT 'l_orderkey' AS key_name, CAST(l_orderkey AS BIGINT) AS v
+      FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem),
+    cnt AS (
+      SELECT key_name, v, count(*) AS c FROM kv GROUP BY 1, 2)
+    SELECT key_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS max_freq,
+           round(max(c) * count(*) * 1.0 / sum(c), 6) AS skew_ratio
+    FROM cnt GROUP BY 1
+    """,
+)
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for every candidate shuffle key on the
+    fact: row count, distinct keys, the hottest key's frequency, and
+    the skew ratio (hottest / average group size) — the number that
+    decides, BEFORE a 100 TB join is launched, whether a key needs
+    salting (operators/skew.py), an AQE skew-split, or is safe as-is.
+    The operational companion to q_salted_join: that query fixes skew,
+    this one measures it.
+
+    Plan: the fact scans ONCE — the three keys unpivot map-side into
+    (key_name, value) rows feeding a single two-level aggregation
+    (partial per-key counts combine before the exchange); the second
+    aggregate runs on the |distinct keys| table.  No collect, no
+    per-key job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kv = li.select(
+        F.explode(
+            F.create_map(
+                F.lit("l_orderkey"), F.col("l_orderkey").cast("long"),
+                F.lit("l_suppkey"), F.col("l_suppkey").cast("long"),
+                F.lit("l_partkey"), F.col("l_partkey").cast("long"),
+            )
+        ).alias("key_name", "v")
+    )
+    cnt = kv.groupBy("key_name", "v").agg(F.count("*").alias("c"))
+    return cnt.groupBy("key_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_freq"),
+        F.round(
+            F.max("c") * F.count("*") * F.lit(1.0) / F.sum("c"), 6
+        ).alias("skew_ratio"),
+    )

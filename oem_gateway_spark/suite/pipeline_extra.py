@@ -698,3 +698,76 @@ def d_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_freq") > 0.01 * F.col("n_docs"))
         .select("token", "doc_freq")
     )
+
+
+@query(
+    "d_group_split",
+    oracle="""
+    WITH buck AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))
+               ::INTEGER AS doc_b,
+             ('0x' || substr(md5('split:' || source), 1, 4))
+               ::INTEGER AS grp_b
+      FROM documents),
+    labeled AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_b < 52429 THEN 'train'
+                  WHEN doc_b < 58982 THEN 'val' ELSE 'test' END AS by_doc,
+             CASE WHEN grp_b < 52429 THEN 'train'
+                  WHEN grp_b < 58982 THEN 'val' ELSE 'test' END AS by_group
+      FROM buck)
+    SELECT variant, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups
+    FROM (
+      SELECT 'by_doc' AS variant, by_doc AS split, source FROM labeled
+      UNION ALL
+      SELECT 'by_group', by_group, source FROM labeled
+    ) GROUP BY 1, 2
+    """,
+)
+def d_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split with a GROUP-LEAKAGE guard: the split label
+    comes from a deterministic hash bucket (16-bit md5 prefix,
+    80/10/10), computed two ways — per document (the naive recipe) and
+    per GROUP (source/domain — the correct one when near-duplicate or
+    same-author documents must never straddle the eval boundary).
+    Reported per (variant, split): doc and distinct-group counts.  The
+    leakage witness is in the group totals: summed over splits,
+    by_group counts each source once (every group lives in exactly one
+    split) while by_doc counts most sources in ALL THREE (the leak:
+    same-group documents on both sides of the boundary).
+
+    Deterministic everywhere: md5 prefixes are engine-identical, the
+    80/10/10 boundary is an integer compare, no RNG.  At 100 TB this
+    is one map pass + one (variant, split) aggregate — the group hash
+    needs no join because the group key is ON the row; a group table
+    with its own metadata would broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket16 = lambda col: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("split:"), col)), 1, 4), 16, 10
+    ).cast("int")
+    label = lambda b: (  # noqa: E731
+        F.when(b < 52429, F.lit("train"))
+        .when(b < 58982, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    labeled = docs.select(
+        "source",
+        label(bucket16(F.col("doc_id").cast("string"))).alias("by_doc"),
+        label(bucket16(F.col("source"))).alias("by_group"),
+    )
+    both = labeled.select(
+        F.lit("by_doc").alias("variant"), F.col("by_doc").alias("split"), "source"
+    ).unionByName(
+        labeled.select(
+            F.lit("by_group").alias("variant"),
+            F.col("by_group").alias("split"),
+            "source",
+        )
+    )
+    return both.groupBy("variant", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_groups"),
+    )
