@@ -634,3 +634,22 @@ def test_semdedup_centroids_broadcast(spark):
     text = explain_str(df)
     assert "BroadcastExchange" in text, text
     assert "rangepartitioning" not in text, text
+
+
+def test_group_split_single_scan_no_join(spark):
+    """Both split variants derive from one documents scan (the union
+    duplicates rows map-side, not the scan); the group hash needs no
+    join because the group key is on the row."""
+    df = REGISTRY["d_group_split"].fn(spark, SF)
+    text = explain_str(df)
+    assert "Join" not in text, text
+    assert text.count("documents.parquet") <= 2, text  # one per union leg
+
+
+def test_skew_diagnostics_single_scan(spark):
+    """All three candidate keys unpivot from ONE fact scan into a
+    two-level aggregate — never a per-key job or scan."""
+    df = REGISTRY["q_skew_diagnostics"].fn(spark, SF)
+    text = explain_str(df)
+    assert text.count("lineitem.parquet") == 1, text
+    assert "Join" not in text, text

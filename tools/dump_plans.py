@@ -65,6 +65,8 @@ QUERIES = [
     ("q_skyline", "skyline: per-x agg, frontier pass on distinct x only, broadcast back"),
     ("q_hll_partial_merge", "mergeable HLL rollup: month sketches union to quarters"),
     ("d_semdedup_centroid", "broadcast centroids; pair join shuffles on cluster id"),
+    ("d_group_split", "two hash-label variants from one scan; no join, no RNG"),
+    ("q_skew_diagnostics", "three keys unpivot map-side; one scan, two-level agg"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 

@@ -67,6 +67,8 @@ PROBES = [
                                 # clusters grow; at 100 TB k grows with the
                                 # corpus (s_kmeans path) keeping cluster size
                                 # constant — watch this row for the k contract
+    "d_group_split",            # map pass + tiny aggregate: must stay flat
+    "q_skew_diagnostics",       # 3x unpivot + two-level agg: linear in rows
 ]
 
 
