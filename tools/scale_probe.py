@@ -301,6 +301,13 @@ def main() -> None:
         "documented star-contraction variant bounds rounds if that ever",
         "trends up).",
         "",
+        "Known structurally-super-linear row: d_semdedup_centroid holds",
+        "k = 8 centroids FIXED, so cluster sizes grow with the corpus and",
+        "the within-cluster pair work trends quadratic by construction;",
+        "the production contract grows k with the corpus (s_kmeans path),",
+        "holding cluster size — and this exponent — constant.  The row",
+        "exists precisely to keep that contract visible.",
+        "",
         "```json",
         json.dumps(results),
         "```",
