@@ -62,11 +62,11 @@ PROBES = [
     "t_length_profile",         # two grouped exact percentiles + re-scan join
     "q_skyline",                # frontier pass bounded by distinct-x, not n
     "q_hll_partial_merge",      # sketch partials: merge cost ~ #months, flat
-    "d_semdedup_centroid",      # within-cluster pairs: n^2/k with FIXED k here,
-                                # so the honest expectation is exponent -> 2 as
-                                # clusters grow; at 100 TB k grows with the
-                                # corpus (s_kmeans path) keeping cluster size
-                                # constant — watch this row for the k contract
+    "d_semdedup_centroid",      # within-cluster pairs: k = ceil(n/TARGET) now
+                                # SCALES with the corpus and oversized clusters
+                                # re-split at CAP (r6 fix for the r5 VERDICT's
+                                # one quadratic row) — expected exponent ~1.0
+                                # (pair work n*TARGET, linear)
     "d_group_split",            # map pass + tiny aggregate: must stay flat
     "q_skew_diagnostics",       # 3x unpivot + two-level agg: linear in rows
 ]
@@ -301,12 +301,13 @@ def main() -> None:
         "documented star-contraction variant bounds rounds if that ever",
         "trends up).",
         "",
-        "Known structurally-super-linear row: d_semdedup_centroid holds",
-        "k = 8 centroids FIXED, so cluster sizes grow with the corpus and",
-        "the within-cluster pair work trends quadratic by construction;",
-        "the production contract grows k with the corpus (s_kmeans path),",
-        "holding cluster size — and this exponent — constant.  The row",
-        "exists precisely to keep that contract visible.",
+        "d_semdedup_centroid (r5's one structurally quadratic row, fixed",
+        "k=8) now implements the scale contract: k = ceil(corpus/256) grows",
+        "with the corpus and clusters above 512 re-split on the argmax",
+        "dimension (scaling-invariant, so colinear duplicates never separate",
+        "— tests/test_round6_ops.py proves the split path in lockstep with",
+        "the oracle).  Pair work is ~n*TARGET, linear; this row watches",
+        "that the implementation keeps the promise.",
         "",
         "```json",
         json.dumps(results),
