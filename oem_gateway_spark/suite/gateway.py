@@ -72,8 +72,23 @@ def _fan_out(df: DataFrame, sf_dir: str, table: str = "lineitem") -> DataFrame:
     ]
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     max_pb = _parse_byte_string(raw)
+    open_cost = _parse_byte_string(
+        str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    )
     total = sum(os.path.getsize(f) for f in files)
-    est_splits = max(len(files), -(-total // max_pb)) if files else 1
+    if not files:
+        est_splits = 1
+    else:
+        # Mirror FilePartition packing (r5 ADVICE): many SMALL files do
+        # NOT each get a partition — they pack into shared splits of
+        # maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # bytesPerCore)), each file padded by openCostInBytes.  The old
+        # len(files) floor overestimated here, letting _fan_out no-op
+        # while the real scan delivered far fewer partitions.
+        padded = total + len(files) * open_cost
+        bytes_per_core = padded // max(1, target)
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        est_splits = max(1, -(-padded // max(1, max_split)))
     if est_splits >= target:
         return df
     return df.repartition(target)

@@ -352,9 +352,15 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if old_dir.endswith(".owner"):
             # orphan marker whose dir is already gone: clean it up here
             # (the glob matches markers too; rmtree on one is a no-op).
+            # Only past a 60 s grace — a concurrent run writes its marker
+            # and creates the dir in two steps, and reaping the marker in
+            # that window would demote the LIVE run to the mtime rule
+            # (r5 ADVICE; the dirs are now made first, the grace is a
+            # second belt for pre-fix writers).
             if not os.path.isdir(old_dir[: -len(".owner")]):
                 try:
-                    os.remove(old_dir)
+                    if os.path.getmtime(old_dir) < time.time() - 60:
+                        os.remove(old_dir)
                 except OSError:
                     pass
             continue
@@ -365,8 +371,13 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     with open(owner_file) as f:
                         owner_pid = int(f.read().strip() or "0")
                 except ValueError:
-                    owner_pid = 0  # corrupt marker (partial write): treat
-                    # the run as dead — don't let it pin the dir forever
+                    # Corrupt marker: a PARTIAL write reads corrupt for
+                    # only milliseconds, so give the same 60 s grace
+                    # before treating the run as dead (then don't let it
+                    # pin the dir forever).
+                    if os.path.getmtime(owner_file) > time.time() - 60:
+                        continue
+                    owner_pid = 0
                 if owner_pid and _pid_alive(owner_pid):
                     continue  # owner still running: store may be referenced
                 shutil.rmtree(old_dir, ignore_errors=True)
@@ -399,8 +410,12 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join("/root/repo/.scratch", f"rollup-store-{run_id}")
     ckpt = os.path.join("/root/repo/.scratch", f"rollup-ckpt-{run_id}")
     # Owner-PID markers scope the GC above: while this process lives,
-    # no other session may reap this run's store/checkpoint.
+    # no other session may reap this run's store/checkpoint.  Create the
+    # dirs FIRST so a concurrent GC never sees a marker without its dir
+    # (it would reap the marker as an orphan and demote this live run to
+    # the mtime rule — r5 ADVICE).
     for owned in (store, ckpt):
+        os.makedirs(owned, exist_ok=True)
         with open(owned + ".owner", "w") as f:
             f.write(str(os.getpid()))
     rollup = IncrementalRollup(store_dir=store, window="1 hour")

@@ -614,6 +614,21 @@ def test_skyline_bounded_global_pass(spark):
     assert has_broadcast_join(df)
     assert text.count("SinglePartition") == 1, text
     assert "rangepartitioning" not in text, text
+    # Pin the window's INPUT to the per-price aggregate (r5 VERDICT #7):
+    # a refactor that moved the running-max window onto raw part rows
+    # would still pass the SinglePartition count but turn the bounded
+    # |distinct x| pass into a global pass over n rows.  In formatted
+    # explain children print BELOW parents, so between the Window line
+    # and its HashAggregate child there must be no parquet scan.
+    tree = text.splitlines()
+    win_i = next(i for i, l in enumerate(tree) if " Window " in f" {l} ")
+    agg_i = next(
+        i for i, l in enumerate(tree[win_i:], win_i) if "HashAggregate" in l
+    )
+    between = "\n".join(tree[win_i:agg_i])
+    assert "Scan parquet" not in between, between
+    # and that aggregate groups by the skyline's x dimension
+    assert "Keys [1]: [p_retailprice" in text, text
 
 
 def test_hll_merge_is_two_scans(spark):
