@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -86,6 +87,12 @@ HEADLINE = [
     "d_semdedup_centroid",
     "d_group_split",
     "q_skew_diagnostics",
+    # round-6 additions
+    "q_merge_upsert",
+    "q_shortest_path_bounded",
+    "stream_topk_admission",
+    "d_setsim_prefix_join",
+    "q_merkle_reconcile",
 ]
 
 
@@ -138,22 +145,45 @@ def main() -> None:
         sum(t for q, t in timings.items() if q in R2_COMPARABLE), 3
     )
 
-    # Same discipline one generation later (VERDICT r4 #6): the 62
-    # queries BENCH_r04 timed, frozen by name so future rounds compare
-    # this wall with one subtraction even as the headline list grows.
-    # null (not 0.0) when the r4 artifact is absent — a missing baseline
-    # must never read as an infinite speedup.
-    r4_list_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r04.json"
-    )
-    try:
-        with open(r4_list_path) as f:
-            r4_names = set(json.load(f)["parsed"]["queries"])
-        r4_wall = round(
-            sum(t for q, t in timings.items() if q in r4_names), 3
-        )
-    except (OSError, KeyError, ValueError):
-        r4_wall = None
+    # Same discipline one generation later (VERDICT r4 #6, r5 #6): the
+    # query sets BENCH_r04 / BENCH_r05 timed, frozen by name, so future
+    # rounds compare either wall with one subtraction even as the
+    # headline list grows.  null (not 0.0) when an artifact is absent —
+    # a missing baseline must never read as an infinite speedup.
+    def _comparable_wall(artifact: str) -> float | None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed")
+            if parsed is not None:
+                names = set(parsed["queries"])
+            else:
+                # BENCH_r05.json ships parsed=null (the driver's own JSON
+                # parse hit its tail truncation) but the queries object
+                # survives intact inside the 'tail' string — recover it by
+                # brace matching so the r5 wall doesn't silently go null.
+                tail = data.get("tail", "")
+                m = re.search(r'"queries":\s*\{', tail)
+                if not m:
+                    return None
+                start, depth, names = m.end() - 1, 0, None
+                for i in range(start, len(tail)):
+                    if tail[i] == "{":
+                        depth += 1
+                    elif tail[i] == "}":
+                        depth -= 1
+                        if depth == 0:
+                            names = set(json.loads(tail[start : i + 1]))
+                            break
+                if names is None:
+                    return None
+            return round(sum(t for q, t in timings.items() if q in names), 3)
+        except (OSError, KeyError, ValueError, TypeError):
+            return None
+
+    r4_wall = _comparable_wall("BENCH_r04.json")
+    r5_wall = _comparable_wall("BENCH_r05.json")
 
     # Headline throughput vs the reference: frames parsed per second
     # through the full serial classify+parse+explode chain.  The reference
@@ -173,6 +203,7 @@ def main() -> None:
                 "queries": timings,
                 "r2_comparable_wall": r2_wall,
                 "r4_comparable_wall": r4_wall,
+                "r5_comparable_wall": r5_wall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "parse_frames_per_sec": frames_per_sec,
                 "reference_frames_per_sec": 5.0,

@@ -606,3 +606,118 @@ def ewma_stream(
             ),
         )
     )
+
+
+def topk_admission_stream(
+    stream: DataFrame,
+    k: int = 5,
+    key_col: str = "node",
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Online per-key top-k admission: each arriving row is tested
+    against the running top-``k`` readings for its key — ``admitted``
+    iff fewer than ``k`` earlier readings beat it (strictly greater
+    value, ties to the earlier event id) — then folded into the state.
+
+    State is a BOUNDED ORDERED COLLECTION (the k best (value, id) pairs,
+    at most k elements per key forever), a different state shape from
+    the scalar-state smoothers (ewma_stream, locf_fill) and the
+    unbounded-dict counters (node_running_stats): insertion + truncate
+    keeps exactly the prefix top-k, because a discarded element was
+    outside the top-k of its prefix and the top-k only improves, so it
+    can never re-enter.  That invariant is what makes the streaming
+    answer equal the batch prefix-rank twin row for row.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("event_id", LongType()),
+            StructField("admitted", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("vals", ArrayType(DoubleType())),
+            StructField("ids", ArrayType(LongType())),
+        ]
+    )
+
+    def beats(va: float, ia: int, vb: float, ib: int) -> bool:
+        """(va, ia) outranks (vb, ib): greater value, earlier id on ties."""
+        return va > vb or (va == vb and ia < ib)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["ts_ms", "event_id"], kind="stable", ignore_index=True
+        )
+        if state.exists:
+            vals, ids = list(state.get[0]), list(state.get[1])
+        else:
+            vals, ids = [], []
+        top = list(zip(vals, ids))
+        admitted = []
+        for x, eid in zip(pdf[value_col].astype(float), pdf[id_col]):
+            eid = int(eid)
+            n_better = sum(1 for v, i in top if beats(v, i, x, eid))
+            admitted.append(n_better < k)
+            top.append((x, eid))
+            top.sort(key=lambda p: (-p[0], p[1]))
+            del top[k:]
+        state.update(([v for v, _ in top], [i for _, i in top]))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "node": node,
+                "event_id": pdf[id_col].astype("int64"),
+                "admitted": admitted,
+            }
+        )
+
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"CAST({id_col} AS LONG) AS {id_col}",
+            f"CAST({ts_ms_col} AS LONG) AS ts_ms",
+            f"CAST({value_col} AS DOUBLE) AS {value_col}",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )

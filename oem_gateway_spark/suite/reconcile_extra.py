@@ -1,0 +1,326 @@
+"""Round-6 additions: exact set-similarity JOIN via prefix filtering and
+Merkle-style snapshot reconciliation.
+
+Both target plan shapes no existing registry query covers (VERDICT r5 #8):
+
+- ``d_setsim_prefix_join``: an exact-threshold similarity JOIN whose
+  candidate generation is recall-LOSSLESS (prefix-filtering theorem) —
+  the deterministic counterpart to MinHash/SimHash's probabilistic
+  candidates, and a true join where ``d_ngram_jaccard`` only verifies
+  pre-supplied pairs.
+- ``q_merkle_reconcile``: hierarchical digest comparison between two
+  table snapshots — the row-level diff join runs only on buckets whose
+  order-independent digests disagree, where ``q_snapshot_diff`` joins
+  both snapshots in full.
+
+Reference parity: the reference gateway has no analytics engine; these
+extend the §2.6 engine surface (SURVEY.md) for the LLM-pipeline brief
+(near-dup curation; snapshot drift audits between pipeline runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.functions import text as T
+from oem_gateway_spark.operators.dedup import _own_cache
+from oem_gateway_spark.suite.llm import CORPUS_SQL, _corpus
+from oem_gateway_spark.suite.registry import query
+
+# Jaccard threshold as an exact rational (7/10): every prefix-length and
+# length-filter bound below is INTEGER arithmetic, so Spark and DuckDB
+# can never disagree by a float ulp on which tokens are "in the prefix".
+_SIM_NUM, _SIM_DEN = 7, 10
+
+
+@query(
+    "d_setsim_prefix_join",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+                    list_distinct(
+                      {H.shingles_sql(T.word_tokens_sql('text'))}) AS toks
+             FROM corpus),
+    grams AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+              FROM grams GROUP BY doc_id),
+    freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+             FROM grams GROUP BY token),
+    ordered AS (
+      SELECT g.doc_id, g.token, sz.s,
+             row_number() OVER (PARTITION BY g.doc_id
+                                ORDER BY fr.f, g.token) AS pos
+      FROM grams g JOIN freq fr USING (token) JOIN sizes sz USING (doc_id)),
+    prefix AS (
+      SELECT doc_id, token, s FROM ordered
+      WHERE pos <= s - (({_SIM_NUM} * s + {_SIM_DEN} - 1) // {_SIM_DEN}) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b USING (token)
+      WHERE a.doc_id < b.doc_id
+        AND {_SIM_DEN} * least(a.s, b.s) >= {_SIM_NUM} * greatest(a.s, b.s)),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b AND gb.token = ga.token
+      GROUP BY c.id_a, c.id_b),
+    scored AS (
+      SELECT i.id_a, i.id_b,
+             round(i.i * 1.0 / (sa.s + sb.s - i.i), 6) AS jaccard
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b)
+    SELECT id_a, id_b, jaccard FROM scored
+    WHERE jaccard >= {_SIM_NUM} * 1.0 / {_SIM_DEN}
+    """,
+)
+def d_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity JOIN (all pairs with 3-word-shingle Jaccard
+    >= 0.7) via PREFIX FILTERING: each doc's shingles are ordered by
+    ascending global frequency and only the first ``s - ceil(0.7*s) +
+    1`` (its RAREST shingles) enter the inverted candidate index.
+    Shingle sets (not bare word sets) are the unit: the testdata's
+    small vocabulary makes word SETS collide wholesale (146k natural
+    word-set pairs at sf0.001 — quadratic output), while 3-shingles
+    are near-unique per doc, so matches are the constructed
+    copy/suffix near-dups — the same unit MinHash uses.
+
+    New plan shape (r5 VERDICT #8): recall-LOSSLESS candidate pruning
+    for an exact-threshold similarity join — if J(a,b) >= t then, with
+    the length filter ``10*min(sa,sb) >= 7*max(sa,sb)`` (pairs failing
+    it have J <= min/max < t), the intersection is >= ceil(t*sa), so a
+    shares at least one of its prefix tokens with b (missing all of
+    them caps the intersection at ``ceil(t*sa) - 1``) — the prefix-
+    filtering theorem (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
+    public literature).  Every near-dup query to date is either
+    probabilistic-candidate (MinHash bands, SimHash bands, LSH buckets)
+    or verify-given-pairs (d_ngram_jaccard); this is the deterministic
+    exact join, and its oracle re-derives the same algorithm
+    declaratively in SQL.
+
+    All threshold arithmetic is integer (7/10 as a rational: prefix
+    length uses ``(7*s + 9) // 10``), so the two engines cannot
+    disagree on prefix membership; the final jaccard is a ratio of
+    integers — the same IEEE division on both sides.
+
+    Scale: the prefix explode carries ~0.3 of the token stream; the
+    candidate join buckets on PREFIX tokens, which are each doc's
+    rarest — hot tokens land in a prefix only when a doc has nothing
+    rarer, so bucket sizes stay small by construction (the PPJoin
+    insight; the residual hot-bucket risk is the same one the LSH
+    mega-bucket valve documents).  The token-frequency table is
+    vocabulary-sized (<< corpus) and broadcast; verification joins the
+    deduped candidate list back to per-doc token arrays and intersects
+    map-side via array_intersect."""
+    corpus = _corpus(spark, sf_dir)
+    toks = (
+        corpus.select(
+            "doc_id",
+            F.array_distinct(
+                H.shingles(T.word_tokens(F.col("text")))
+            ).alias("toks"),
+        )
+        .withColumn("s", F.size("toks").cast("long"))
+        .persist()  # feeds freq, the ordered prefix, and BOTH verify sides
+    )
+    grams = toks.select("doc_id", "s", F.explode("toks").alias("token"))
+    freq = grams.groupBy("token").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "token")
+    prefix_len = (
+        F.col("s")
+        - F.expr(f"({_SIM_NUM} * s + {_SIM_DEN} - 1) div {_SIM_DEN}")
+        + F.lit(1)
+    )
+    prefix = (
+        grams.join(F.broadcast(freq), "token")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "s", "token")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), "token"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _SIM_DEN * F.least("sa", "sb")
+            >= _SIM_NUM * F.greatest("sa", "sb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("ta"),
+        F.col("s").alias("sa"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("tb"),
+        F.col("s").alias("sb"),
+    )
+    i = F.size(F.array_intersect("ta", "tb")).cast("long")
+    out = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(i * 1.0 / (F.col("sa") + F.col("sb") - i), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= _SIM_NUM * 1.0 / _SIM_DEN)
+    )
+    return _own_cache(out, toks)
+
+
+_MERKLE_BUCKETS = 64
+
+
+@query(
+    "q_merkle_reconcile",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    b AS (
+      SELECT k, CASE WHEN k % 97 = 0 THEN p + 1.5 ELSE p END AS p
+      FROM a WHERE k % 101 <> 0
+      UNION ALL
+      SELECT k + 30000000, p * 0.5 FROM a WHERE k % 103 = 0),
+    j AS (SELECT a.k AS ka, b.k AS kb, a.p AS pa, b.p AS pb
+          FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT CAST(coalesce(ka, kb) AS BIGINT) AS o_orderkey,
+           CASE WHEN kb IS NULL THEN 'only_a'
+                WHEN ka IS NULL THEN 'only_b'
+                ELSE 'changed' END AS status,
+           floor(pa * 100 + 0.5) / 100 AS price_a,
+           floor(pb * 100 + 0.5) / 100 AS price_b
+    FROM j WHERE kb IS NULL OR ka IS NULL OR pa <> pb
+    """,
+)
+def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via HIERARCHICAL DIGESTS (the Merkle /
+    anti-entropy pattern): snapshot B is A (orders) with deterministic
+    drift injected — keys %97 repriced (+1.5), %101 deleted, %103
+    mirrored to a new key at half price — and the report lists every
+    drifted key as only_a / only_b / changed.
+
+    New plan shape (r5 VERDICT #8): the row-level full-outer diff runs
+    ONLY on rows whose BUCKET disagrees — each side first aggregates
+    map-side to |buckets| rows (bucket -> xor of row digests + count;
+    xor is the order-independent, overflow-free combiner), the two tiny
+    digest tables join to find mismatched buckets, and that bucket list
+    (a driver scalar, <= 64 ints) prunes both row streams as a literal
+    IN filter BEFORE the expensive wide-row join.
+    q_snapshot_diff full-outer-joins both snapshots in
+    their entirety; at 100 TB with 1% drift the Merkle pass reads both
+    snapshots once for kilobyte digest tables, then joins only the
+    drifted buckets' rows (with hive-style bucketed layouts the prune
+    becomes file-level pruning — no second full scan).
+
+    The digests are Spark-internal (xxhash64 over normalized columns:
+    price as integer cents, date as a formatted string) and never need
+    cross-engine parity: the ORACLE diffs the snapshots directly — the
+    bucket pruning is lossless (an equal bucket has equal xor+count;
+    a missed diff needs a 64-bit xor collision AND an equal row count),
+    so the pruned diff equals the direct diff.  Output prices round to
+    cents via ``floor(x*100 + 0.5)/100`` — pure IEEE double ops, so the
+    engines cannot disagree at half-cent boundaries (``p * 0.5`` of an
+    odd-cent price IS such a boundary; library round( ,2) flipped a
+    penny between Spark and DuckDB at sf0.01)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("p"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b = a.filter(F.col("k") % 101 != 0).withColumn(
+        "p",
+        F.when(F.col("k") % 97 == 0, F.col("p") + 1.5).otherwise(F.col("p")),
+    )
+    inserts = a.filter(F.col("k") % 103 == 0).select(
+        (F.col("k") + 30000000).alias("k"),
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("p") * 0.5).alias("p"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    b = b.unionByName(inserts)
+
+    def digested(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            "p",
+            F.pmod(F.xxhash64("k"), F.lit(_MERKLE_BUCKETS)).alias("bucket"),
+            F.xxhash64(
+                "o_custkey",
+                "o_orderstatus",
+                F.round(F.col("p") * 100).cast("long"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                "o_orderpriority",
+            ).alias("digest"),
+        )
+
+    da, db = digested(a), digested(b)
+    ha = da.groupBy("bucket").agg(
+        F.bit_xor("digest").alias("xa"), F.count("*").alias("ca")
+    )
+    hb = db.groupBy("bucket").agg(
+        F.bit_xor("digest").alias("xb"), F.count("*").alias("cb")
+    )
+    # The drifted-bucket list is <= _MERKLE_BUCKETS ints — a driver
+    # scalar (same tier as the k-means centroid collect).  Collecting it
+    # (a) runs the digest pass ONCE — as a broadcast-join input Spark
+    # re-derives the whole digest subtree per pruned side, doubling the
+    # snapshot scans — and (b) turns the prune into a literal IN filter,
+    # which a production bucketed/partitioned layout elides into static
+    # file pruning (the digest pass reads kilobyte footers, the row join
+    # reads only drifted buckets' files).
+    bad = [
+        r[0]
+        for r in ha.join(hb, "bucket", "full_outer")
+        .filter(
+            F.col("xa").isNull()
+            | F.col("xb").isNull()
+            | (F.col("xa") != F.col("xb"))
+            | (F.col("ca") != F.col("cb"))
+        )
+        .select("bucket")
+        .collect()
+    ]
+    pa = da.filter(F.col("bucket").isin(bad)).select(
+        F.col("k").alias("ka"), F.col("p").alias("pa"), F.col("digest").alias("dga")
+    )
+    pb = db.filter(F.col("bucket").isin(bad)).select(
+        F.col("k").alias("kb"), F.col("p").alias("pb"), F.col("digest").alias("dgb")
+    )
+    j = pa.join(pb, pa.ka == pb.kb, "full_outer")
+    status = (
+        F.when(F.col("kb").isNull(), F.lit("only_a"))
+        .when(F.col("ka").isNull(), F.lit("only_b"))
+        .when(F.col("dga") != F.col("dgb"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    def cents(c: Column) -> Column:
+        return F.floor(c * 100 + 0.5) / 100
+
+    return (
+        j.select(
+            F.coalesce("ka", "kb").alias("o_orderkey"),
+            status.alias("status"),
+            cents(F.col("pa")).alias("price_a"),
+            cents(F.col("pb")).alias("price_b"),
+        )
+        .filter(F.col("status") != "same")
+    )

@@ -743,3 +743,101 @@ def q_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("first_peak_ms"),
         )
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey + CASE WHEN o_custkey % 19 = 0 THEN 9000000 ELSE 0 END
+               AS key,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(o_totalprice) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY 1),
+    j AS (
+      SELECT c.c_custkey AS tkey, c.c_acctbal, s.key AS skey,
+             s.n_orders, s.spend
+      FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key),
+    acted AS (
+      SELECT coalesce(tkey, skey) AS c_custkey,
+             CASE WHEN tkey IS NULL THEN 'insert'
+                  WHEN skey IS NULL THEN 'keep'
+                  WHEN n_orders >= 8 THEN 'update'
+                  WHEN c_acctbal < 0 THEN 'delete'
+                  ELSE 'keep' END AS action,
+             CASE WHEN tkey IS NULL THEN 0.1 * spend
+                  WHEN skey IS NOT NULL AND n_orders >= 8
+                       THEN c_acctbal + 0.1 * spend
+                  ELSE c_acctbal END AS bal
+      FROM j)
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           floor(bal * 100 + 0.5) / 100 AS acctbal, action
+    FROM acted WHERE action <> 'delete'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO conflict semantics (the Delta/Iceberg upsert kernel,
+    expressed on plain DataFrames): a change feed derived from recent
+    orders merges into the customer dimension under ORDERED WHEN
+    clauses — matched + active (n_orders >= 8) -> UPDATE (balance
+    credit); matched + delinquent (c_acctbal < 0) -> DELETE; source key
+    unknown to the target -> INSERT; anything else passes through
+    unchanged.  New plan shape vs the existing warehouse family:
+    multi-branch action ROUTING with clause priority (a row that is
+    both active and delinquent takes the first matching clause — UPDATE
+    — exactly MERGE's first-match-wins contract) and a DELETE branch
+    that removes target rows; q_scd2_apply/q_snapshot_diff only ever
+    append or close history rows, never route one row through
+    prioritized alternatives.
+
+    Scale: the change feed aggregates map-side to one row per customer
+    (|customers| << |orders|), then ONE full-outer shuffle join on the
+    business key — unique per side, so no skew; a bucketed target makes
+    the exchange one-sided (q_bucketed_join's layout).  Action routing
+    and the delete filter are pure map work on the joined row.  This is
+    how MERGE executes on any engine at 100 TB: join + per-row clause
+    resolution, never row-at-a-time lookups."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    src = o.groupBy(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_custkey") % 19 == 0, 9000000).otherwise(0)
+        ).alias("key")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("spend"),
+    )
+    tgt = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("tkey"), "c_acctbal"
+    )
+    j = tgt.join(src, F.col("tkey") == F.col("key"), "full_outer")
+    action = (
+        F.when(F.col("tkey").isNull(), F.lit("insert"))
+        .when(F.col("key").isNull(), F.lit("keep"))
+        .when(F.col("n_orders") >= 8, F.lit("update"))
+        .when(F.col("c_acctbal") < 0, F.lit("delete"))
+        .otherwise(F.lit("keep"))
+    )
+    bal = (
+        F.when(F.col("tkey").isNull(), F.col("spend") * 0.1)
+        .when(
+            F.col("key").isNotNull() & (F.col("n_orders") >= 8),
+            F.col("c_acctbal") + F.col("spend") * 0.1,
+        )
+        .otherwise(F.col("c_acctbal"))
+    )
+    return (
+        j.select(
+            F.coalesce("tkey", "key").alias("c_custkey"),
+            # floor(x*100+0.5)/100, not round( ,2): 0.1*spend lands on
+            # half-cent boundaries where Spark/DuckDB round() disagree
+            # by a penny (caught at sf0.01); floor is pure IEEE on both.
+            (F.floor(bal * 100 + 0.5) / 100).alias("acctbal"),
+            action.alias("action"),
+        )
+        .filter(F.col("action") != "delete")
+    )

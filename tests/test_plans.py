@@ -4,6 +4,8 @@ declared ones, top-k avoids global sorts."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from oem_gateway_spark.catalog import load_table
@@ -668,3 +670,63 @@ def test_skew_diagnostics_single_scan(spark):
     text = explain_str(df)
     assert text.count("lineitem.parquet") == 1, text
     assert "Join" not in text, text
+
+
+def test_merge_upsert_single_full_outer_pass(spark):
+    """MERGE kernel: exactly 2 exchanges — the target's join shuffle and
+    the change-feed aggregation, whose hash partitioning on the business
+    key DOUBLES as the source side's join distribution (no third
+    exchange).  Clause routing and the delete filter are map work above
+    the join; the aggregate combines map-side (partial before its
+    exchange)."""
+    df = REGISTRY["q_merge_upsert"].fn(spark, SF)
+    text = explain_str(df)
+    assert "SortMergeJoin FullOuter" in text, text
+    assert num_exchanges(df) == 2, text
+    # partial-final agg split: the change feed combines before shuffling
+    # (numbered-detail form: once per physical node)
+    assert len(re.findall(r"\(\d+\) HashAggregate", text)) == 2, text
+
+
+def test_shortest_path_reuses_persisted_edges(spark):
+    """Bellman-Ford rounds must re-join the PERSISTED weighted edge
+    build (InMemoryTableScan), not re-derive it from lineitem each
+    round: exactly the 2 base scans of the edge build appear, and no
+    cartesian product sneaks in via the frontier join."""
+    df = REGISTRY["q_shortest_path_bounded"].fn(spark, SF)
+    text = explain_str(df)
+    assert "InMemoryTableScan" in text, text
+    assert len(re.findall(r"\(\d+\) Scan parquet", text)) <= 2, text
+    assert "CartesianProduct" not in text, text
+    from oem_gateway_spark.operators.dedup import release_caches
+
+    release_caches(df)
+
+
+def test_setsim_prefix_join_shape(spark):
+    """Prefix-filter join: the vocabulary-sized frequency table joins
+    BROADCAST (never a shuffle of the full shingle stream against it),
+    and no stage degenerates to a cartesian product."""
+    df = REGISTRY["d_setsim_prefix_join"].fn(spark, SF)
+    text = explain_str(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "CartesianProduct" not in text, text
+    from oem_gateway_spark.operators.dedup import release_caches
+
+    release_caches(df)
+
+
+def test_merkle_reconcile_prunes_before_row_join(spark):
+    """Merkle reconciliation: the digest pass resolves to a driver-side
+    bucket list at build time, so the RETURNED plan is just the two
+    pruned row streams (literal IN filters — statically prunable on a
+    bucketed layout) full-outer joined: no aggregates, no repeated
+    digest subtrees, one scan for snapshot A plus two for B's
+    base+inserts union."""
+    df = REGISTRY["q_merkle_reconcile"].fn(spark, SF)
+    text = explain_str(df)
+    assert "FullOuter" in text, text
+    assert "HashAggregate" not in text, text
+    # literal membership filter (Spark renders IN (...) or INSET ...)
+    assert "INSET" in text or " IN (" in text, text
+    assert len(re.findall(r"\(\d+\) Scan parquet", text)) == 3, text

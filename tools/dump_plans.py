@@ -67,6 +67,10 @@ QUERIES = [
     ("d_semdedup_centroid", "broadcast centroids; pair join shuffles on cluster id"),
     ("d_group_split", "two hash-label variants from one scan; no join, no RNG"),
     ("q_skew_diagnostics", "three keys unpivot map-side; one scan, two-level agg"),
+    ("q_merge_upsert", "MERGE kernel: map-side change-feed agg, one full-outer shuffle, clause routing as map work"),
+    ("q_shortest_path_bounded", "Bellman-Ford: capped weighted edges persist on src; improved-frontier joins"),
+    ("d_setsim_prefix_join", "prefix-filter exact join: broadcast freq, rare-shingle inverted index, array_intersect verify"),
+    ("q_merkle_reconcile", "Merkle diff: map-side xor digests per bucket, broadcast bad-bucket prune, outer join only drifted rows"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 

@@ -69,6 +69,16 @@ PROBES = [
                                 # (pair work n*TARGET, linear)
     "d_group_split",            # map pass + tiny aggregate: must stay flat
     "q_skew_diagnostics",       # 3x unpivot + two-level agg: linear in rows
+    # round-6 additions:
+    "q_merge_upsert",           # change-feed agg + one full-outer join: linear
+    "q_shortest_path_bounded",  # Bellman-Ford relaxation on capped edges —
+                                # frontier shrinks as bounds converge; watch
+                                # for edge-build growth like q_reachability
+    "d_setsim_prefix_join",     # prefix-filter join: explode + rare-token
+                                # buckets — near-linear unless hot shingles
+                                # dominate prefixes
+    "q_merkle_reconcile",       # two digest scans + diff bounded by drift —
+                                # must stay linear in input, flat in output
 ]
 
 

@@ -117,7 +117,7 @@ def main() -> None:
         tiers.update({n: "impl changed this round" for n in changed_known})
         print("_DRIVER_WINDOW = [")
         for n in proposal:
-            tag = tiers.get(n, f"last witness r{witnesses[n][0]}")
+            tag = tiers[n] if n in tiers else f"last witness r{witnesses[n][0]}"
             print(f'    "{n}",  # {tag}')
         print("]")
     else:
