@@ -319,6 +319,16 @@ def main() -> None:
         "the oracle).  Pair work is ~n*TARGET, linear; this row watches",
         "that the implementation keeps the promise.",
         "",
+        "d_setsim_prefix_join's ~1.1 tail is an artifact of the probe's",
+        "replica construction, not a candidate blowup: replicas are",
+        "near-dup copies, so the TRUE matching-pair output grows ~k**2",
+        "per duplicated group (k replicas of a doc all match each",
+        "other).  An output-dominated join would show tail ~2; 1.1",
+        "means candidate generation and verification stay near-linear",
+        "while only the unavoidable output term grows.  The same",
+        "reading applies to d_minhash_containment (its broadcast-pairs",
+        "probe enumerates the same duplicated-group pairs).",
+        "",
         "```json",
         json.dumps(results),
         "```",
