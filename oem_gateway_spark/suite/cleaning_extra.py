@@ -132,17 +132,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not _pid_alive(int(tail[3:])):
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
         else:
-            # pre-PID naming: only sessions running pre-PID code can
-            # still reference these, so gate deletion on mtime age — an
-            # unconditional reap would yank bucket files out from under
-            # a long sweep/bench started before the PID naming deployed
-            # (r5 ADVICE).  PID reuse by an unrelated long-lived process
-            # can pin a dead owner's dir; accepted (bounded: one dir).
+            # pre-PID naming: only sessions running pre-PID code could
+            # reference these, and that code is a full round gone — no
+            # live process can hold one, so these are crashed-session
+            # leftovers.  The mtime gate is margin, not correctness (an
+            # r6 review noted a >1h-lived pre-PID session WOULD still be
+            # vulnerable — none can exist anymore); 24h keeps the reap
+            # conservative.  PID reuse by an unrelated long-lived
+            # process can pin a dead owner's dir; accepted (bounded:
+            # one dir).
             import time
 
             path = os.path.join(base, entry)
             try:
-                if os.path.getmtime(path) < time.time() - 3600:
+                if os.path.getmtime(path) < time.time() - 24 * 3600:
                     shutil.rmtree(path, ignore_errors=True)
             except OSError:
                 pass

@@ -313,7 +313,11 @@ def t_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_TARGET = 256  # target cluster size: k = ceil(corpus_n / TARGET)
 _SEM_CAP = 512  # re-split any cluster larger than this (2x target)
-_SEM_SPLIT_BASE = 1_000_000  # split ids: (cid+1)*BASE + sub, disjoint from cid < k
+# Split cluster ids: k + cid*k + sub.  Base ids live in [0, k) and sub <
+# n_sub <= ceil(n/TARGET) = k, so split ids occupy [k, k + k*k + k) — disjoint
+# from every base id and unique per (cid, sub) at ANY corpus size (a fixed
+# 1e6 base collided with base cids once k exceeded it, i.e. corpora past
+# ~256M vectors — review r6).  k*k fits a long until k ~ 3e9 (~7e11 vectors).
 _SEM_THRESH = 0.9999  # colinear-copy gap (s_embedding_neardup's contract)
 
 
@@ -346,7 +350,7 @@ def _semdedup_oracle() -> str:
     assign AS (
       SELECT a.vec_id, a.embedding,
              CASE WHEN s.sz > {_SEM_CAP}
-                  THEN (a.cid + 1) * {_SEM_SPLIT_BASE}
+                  THEN (SELECT k FROM kq) * (a.cid + 1)
                        + (list_position(a.embedding, list_max(a.embedding))
                           % CAST(ceil(s.sz / {_SEM_TARGET}.0) AS BIGINT))
                   ELSE a.cid END AS cid
@@ -447,15 +451,23 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax_dim = F.array_position(
         F.col("embedding"), F.array_max(F.col("embedding"))
     )
-    assign = assign0.join(F.broadcast(sizes), "cid").select(
-        "vec_id",
-        "embedding",
-        F.when(
-            F.col("sz") > _SEM_CAP,
-            (F.col("cid") + 1) * _SEM_SPLIT_BASE + (argmax_dim % n_sub),
+    # assign feeds BOTH pair-join sides and the final per-cluster count;
+    # persist it too, or the size aggregate + re-split join recompute
+    # three times per action (review r6).
+    assign = (
+        assign0.join(F.broadcast(sizes), "cid")
+        .select(
+            "vec_id",
+            "embedding",
+            F.when(
+                F.col("sz") > _SEM_CAP,
+                (F.col("cid") + 1) * F.lit(k).cast("long")
+                + (argmax_dim % n_sub),
+            )
+            .otherwise(F.col("cid").cast("long"))
+            .alias("cid"),
         )
-        .otherwise(F.col("cid").cast("long"))
-        .alias("cid"),
+        .persist()
     )
     a = assign.select(
         F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
@@ -486,4 +498,4 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("victim")).alias("n_survivors"),
         )
     )
-    return _own_cache(out, assign0)
+    return _own_cache(out, assign0, assign)

@@ -752,13 +752,13 @@ def q_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey + CASE WHEN o_custkey % 19 = 0 THEN 9000000 ELSE 0 END
                AS key,
              CAST(count(*) AS BIGINT) AS n_orders,
-             sum(o_totalprice) AS spend
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend_cents
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       GROUP BY 1),
     j AS (
       SELECT c.c_custkey AS tkey, c.c_acctbal, s.key AS skey,
-             s.n_orders, s.spend
+             s.n_orders, s.spend_cents
       FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key),
     acted AS (
       SELECT coalesce(tkey, skey) AS c_custkey,
@@ -767,9 +767,9 @@ def q_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN n_orders >= 8 THEN 'update'
                   WHEN c_acctbal < 0 THEN 'delete'
                   ELSE 'keep' END AS action,
-             CASE WHEN tkey IS NULL THEN 0.1 * spend
+             CASE WHEN tkey IS NULL THEN spend_cents / 1000.0
                   WHEN skey IS NOT NULL AND n_orders >= 8
-                       THEN c_acctbal + 0.1 * spend
+                       THEN c_acctbal + spend_cents / 1000.0
                   ELSE c_acctbal END AS bal
       FROM j)
     SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
@@ -809,7 +809,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key")
     ).agg(
         F.count("*").alias("n_orders"),
-        F.sum("o_totalprice").alias("spend"),
+        # Sum INTEGER cents, not doubles: a double sum is accumulation-
+        # order-dependent, and a last-ulp spend difference between Spark
+        # and DuckDB can flip the half-cent floor below (review r6).
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias(
+            "spend_cents"
+        ),
     )
     tgt = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("tkey"), "c_acctbal"
@@ -823,10 +828,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     bal = (
-        F.when(F.col("tkey").isNull(), F.col("spend") * 0.1)
+        F.when(F.col("tkey").isNull(), F.col("spend_cents") / 1000.0)
         .when(
             F.col("key").isNotNull() & (F.col("n_orders") >= 8),
-            F.col("c_acctbal") + F.col("spend") * 0.1,
+            F.col("c_acctbal") + F.col("spend_cents") / 1000.0,
         )
         .otherwise(F.col("c_acctbal"))
     )

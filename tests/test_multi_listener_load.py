@@ -129,9 +129,11 @@ def test_union_all_multi_listener_no_loss_no_dup(spark):
         t_sent = time.perf_counter()
         expect_valid = N_PER_SOURCE - N_PER_SOURCE // INFO_EVERY
         deadline = t_sent + 30
+        drained_ok = False
         while time.perf_counter() < deadline:
             got = sum(a["n"] for a in per_src.values()) + totals["rejects"]
             if got >= N_SOURCES * N_PER_SOURCE:
+                drained_ok = True
                 break
             time.sleep(0.5)
         t_drained = time.perf_counter()
@@ -141,6 +143,16 @@ def test_union_all_multi_listener_no_loss_no_dup(spark):
         for ls in listeners:
             ls.close()
 
+    # Flag the drain bound on the POLL OUTCOME, not wall arithmetic: the
+    # old `t_drained - t_sent < 30` was unreachable when the union fell
+    # behind (count asserts fired first) and could fail spuriously when
+    # the last rows landed between the final poll and the deadline
+    # (review r6).
+    assert drained_ok, (
+        "drain exceeded bound — union fell behind",
+        {k: a["n"] for k, a in per_src.items()},
+        totals,
+    )
     valid_seqs = [
         s for s in range(N_PER_SOURCE) if s % INFO_EVERY != INFO_EVERY - 1
     ]
@@ -151,7 +163,6 @@ def test_union_all_multi_listener_no_loss_no_dup(spark):
         assert acc["sum"] == want_sum, (i, acc)
         assert acc["sumsq"] == want_sumsq, (i, acc)
     assert totals["rejects"] == N_SOURCES * (N_PER_SOURCE // INFO_EVERY), totals
-    assert t_drained - t_sent < 30, "drain exceeded bound — union fell behind"
 
     wall = t_drained - t_start
     n_total = N_SOURCES * N_PER_SOURCE

@@ -38,13 +38,16 @@ def _run_both(spark, duck):
 def test_semdedup_resplit_lockstep(spark, duck, sem_knobs):
     sdf, ddf = _run_both(spark, duck)
     assert compare(sdf, ddf, "semdedup-resplit") == []
-    split_ids = [c for c in sdf["cluster"] if c >= M._SEM_SPLIT_BASE]
+    # Split ids are k*(cid+1)+sub >= k; base ids stay in [0, k).  With
+    # the sem_knobs corpus (n=1000, TARGET=500) k = 2.
+    k = max(1, -(-1000 // M._SEM_TARGET))
+    split_ids = [c for c in sdf["cluster"] if c >= k]
     # The oversized cluster re-split actually fired, into >1 sub-bucket
     # (otherwise this test silently stops covering the branch).
     assert len(split_ids) >= 2, f"re-split branch not exercised: {sorted(sdf['cluster'])}"
     # Split ids never collide with the unsplit cid range.
-    unsplit = [c for c in sdf["cluster"] if c < M._SEM_SPLIT_BASE]
-    assert all(c < 1000 for c in unsplit)
+    unsplit = [c for c in sdf["cluster"] if c < k]
+    assert len(unsplit) + len(split_ids) == len(sdf)
     # Every constructed colinear copy is still dropped: the re-split keys
     # on the argmax dimension, invariant under the 0.5x scaling, so
     # bounded clusters cost zero recall on true duplicates.

@@ -103,7 +103,13 @@ def main() -> None:
     # order breaks ties.  Changed names that are also never-witnessed stay
     # in the never tier (no double count).
     reg_pos = {n: i for i, n in enumerate(names)}
-    changed_known = [n for n in changed if n in reg_pos and n not in never]
+    # Sort by registry position, not CLI order: --changed a,b and
+    # --changed b,a must emit the same window (the committed list is a
+    # byte-identical paste of this output — review r6).
+    changed_known = sorted(
+        (n for n in changed if n in reg_pos and n not in never),
+        key=reg_pos.__getitem__,
+    )
     unknown_changed = [n for n in changed if n not in reg_pos]
     if unknown_changed:
         print(f"WARNING --changed names not in registry: {unknown_changed}")
