@@ -93,6 +93,7 @@ HEADLINE = [
     "stream_topk_admission",
     "d_setsim_prefix_join",
     "q_merkle_reconcile",
+    "q_kmv_intersect",
 ]
 
 

@@ -12,6 +12,10 @@ Both target plan shapes no existing registry query covers (VERDICT r5 #8):
   table snapshots — the row-level diff join runs only on buckets whose
   order-independent digests disagree, where ``q_snapshot_diff`` joins
   both snapshots in full.
+- ``q_kmv_intersect``: a mergeable ORDER-STATISTIC sketch (k minimum
+  values) estimating distinct-count INTERSECTIONS — the multiset
+  operation HLL's union-only sketch cannot answer; md5 determinism
+  makes the estimate itself exactly oracle-able.
 
 Reference parity: the reference gateway has no analytics engine; these
 extend the §2.6 engine surface (SURVEY.md) for the LLM-pipeline brief
@@ -324,3 +328,144 @@ def q_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("status") != "same")
     )
+
+
+_KMV_K = 128
+
+
+@query(
+    "q_kmv_intersect",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT o_orderpriority AS seg,
+                      md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+    counts AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY seg),
+    r AS (SELECT seg, h,
+                 row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+          FROM d),
+    sk AS (SELECT seg, list_sort(list(h)) AS sk FROM r
+           WHERE rn <= {_KMV_K} GROUP BY seg),
+    ex AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                  CAST(count(*) AS BIGINT) AS exact_inter
+           FROM d a JOIN d b ON a.h = b.h AND a.seg < b.seg GROUP BY 1, 2),
+    pr AS (SELECT sa.seg AS seg_a, sb.seg AS seg_b, sa.sk AS ska,
+                  sb.sk AS skb, ca.n AS n_a, cb.n AS n_b
+           FROM sk sa JOIN sk sb ON sa.seg < sb.seg
+           JOIN counts ca ON ca.seg = sa.seg
+           JOIN counts cb ON cb.seg = sb.seg),
+    m AS (SELECT seg_a, seg_b, n_a, n_b, ska, skb,
+                 (list_sort(list_distinct(list_concat(ska, skb))))[1:{_KMV_K}]
+                   AS ku
+          FROM pr),
+    sc AS (SELECT seg_a, seg_b, n_a, n_b,
+                  CAST(len(ku) AS BIGINT) AS kl,
+                  CAST(len(list_intersect(list_intersect(ku, ska), skb))
+                       AS BIGINT) AS num
+           FROM m)
+    SELECT s.seg_a, s.seg_b, s.n_a, s.n_b,
+           coalesce(e.exact_inter, 0) AS exact_inter,
+           CAST((s.num * (s.n_a + s.n_b)) // (s.kl + s.num) AS BIGINT)
+             AS est_inter,
+           round(s.num * 1.0 / s.kl, 6) AS est_jaccard
+    FROM sc s LEFT JOIN ex e USING (seg_a, seg_b)
+    """,
+)
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer INTERSECTION between every pair of order
+    priorities, estimated from KMV (k-minimum-values) sketches and
+    audited against the exact count.
+
+    New plan shape (r5 VERDICT #8): a mergeable ORDER-STATISTIC sketch.
+    q_hll_partial_merge's HLL rollup is union-only — HLL cannot answer
+    "how many distinct customers are in BOTH segments"; KMV can: merge
+    two sketches by re-taking the k smallest of their union, estimate
+    Jaccard as the fraction of those k that appear in both input
+    sketches, and convert via |A∩B| = J/(1+J) * (|A|+|B|) (Beyer et
+    al., "On synopses for distinct-value estimation under multiset
+    operations", public literature).
+
+    Determinism is the whole trick for the oracle: the hash is md5, so
+    the k-min sketch — and therefore the ESTIMATE, not just the exact
+    audit column — is a pure function of the data; and the estimate
+    arithmetic stays in integers (J = num/kl as a rational:
+    est = num*(n_a+n_b) div (kl+num)), so both engines produce
+    bit-identical rows with no tolerance band.
+
+    Scale: the sketch build is the scalable side — dedup (seg, hash)
+    combines map-side into one shuffle, the per-segment k-min is the
+    top-k-per-group window (at extreme cardinality a custom partial
+    min-k aggregate replaces the window; the sketch MERGE tier is
+    already kilobyte arrays either way).  The pair stage runs on
+    |segments|^2/2 sketch rows — driver-scale.  The exact_inter column
+    is the audit baseline (the expensive hash self-join the sketch
+    replaces at 100 TB), kept here the way d_minhash_accuracy keeps
+    true jaccard."""
+    o = load_table(spark, sf_dir, "orders")
+    # d feeds four consumers (counts, the sketch window, both exact-audit
+    # sides); sk feeds both pair sides.  Persist both or the dedup
+    # subtree replans once per consumer (caller releases the caches).
+    d = (
+        o.select(
+            F.col("o_orderpriority").alias("seg"),
+            F.md5(F.col("o_custkey").cast("string")).alias("h"),
+        )
+        .dropDuplicates(["seg", "h"])
+        .persist()
+    )
+    counts = d.groupBy("seg").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("seg").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("seg")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+        .join(counts, "seg")
+        .persist()
+    )
+    a = sk.select(
+        F.col("seg").alias("seg_a"), F.col("sk").alias("ska"),
+        F.col("n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("seg").alias("seg_b"), F.col("sk").alias("skb"),
+        F.col("n").alias("n_b"),
+    )
+    ku = F.slice(
+        F.sort_array(F.array_union(F.col("ska"), F.col("skb"))), 1, _KMV_K
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+        .withColumn("ku", ku)
+        .withColumn("kl", F.size("ku").cast("long"))
+        .withColumn(
+            "num",
+            F.size(
+                F.array_intersect(
+                    F.array_intersect(F.col("ku"), F.col("ska")),
+                    F.col("skb"),
+                )
+            ).cast("long"),
+        )
+    )
+    da = d.select(F.col("seg").alias("seg_a"), "h")
+    db = d.select(F.col("seg").alias("seg_b"), "h")
+    ex = (
+        da.join(db, "h")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    out = (
+        pairs.join(F.broadcast(ex), ["seg_a", "seg_b"], "left")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            F.coalesce("exact_inter", F.lit(0).cast("long")).alias(
+                "exact_inter"
+            ),
+            F.expr("(num * (n_a + n_b)) div (kl + num)").alias("est_inter"),
+            F.round(F.col("num") * 1.0 / F.col("kl"), 6).alias("est_jaccard"),
+        )
+    )
+    return _own_cache(out, d, sk)

@@ -730,3 +730,28 @@ def test_merkle_reconcile_prunes_before_row_join(spark):
     # literal membership filter (Spark renders IN (...) or INSET ...)
     assert "INSET" in text or " IN (" in text, text
     assert len(re.findall(r"\(\d+\) Scan parquet", text)) == 3, text
+
+
+def test_kmv_sketch_build_shape(spark):
+    """KMV: the sketch build is one dedup shuffle + the per-segment
+    top-k window sharing that partitioning; the pair-merge tier joins
+    kilobyte sketch arrays broadcast, never shuffling the hash stream
+    again."""
+    df = REGISTRY["q_kmv_intersect"].fn(spark, SF)
+    try:
+        text = explain_str(df)
+        assert (
+            "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+        ), text
+        assert "CartesianProduct" not in text, text
+        # the dedup stream and sketch table are cached, so the hash
+        # stream shuffles at most: window top-k, counts agg, the two
+        # exact-audit h-repartitions, and the ex aggregation — bound the
+        # total so a refactor can't silently replan the dedup subtree
+        # once per consumer
+        assert "InMemoryTableScan" in text, text
+        assert num_exchanges(df) <= 6, text
+    finally:
+        from oem_gateway_spark.operators.dedup import release_caches
+
+        release_caches(df)

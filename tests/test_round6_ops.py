@@ -128,3 +128,24 @@ def test_merkle_reconcile_statuses_match_injected_drift(spark):
     assert got.get("changed", set()) == exp_changed
     ch = out[out["status"] == "changed"]
     assert ((ch["price_b"] - ch["price_a"]).round(2) == 1.5).all()
+
+
+def test_kmv_estimate_accuracy(spark):
+    """The KMV estimate must be an ESTIMATE worth shipping: within 10%
+    relative error of the exact intersection for every priority pair at
+    test scale (k=128 over ~250-distinct segments), and exact columns
+    must satisfy the set-algebra bounds est/exact <= min(n_a, n_b)."""
+    from oem_gateway_spark.operators.dedup import release_caches
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["q_kmv_intersect"].fn(spark, SF_ORACLE)
+    out = df.toPandas()
+    release_caches(df)
+    assert len(out) == 10  # C(5 priorities, 2)
+    for _, r in out.iterrows():
+        bound = min(r["n_a"], r["n_b"])
+        assert 0 <= r["exact_inter"] <= bound
+        assert 0 <= r["est_inter"] <= r["n_a"] + r["n_b"]
+        if r["exact_inter"] >= 50:
+            rel = abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"]
+            assert rel <= 0.10, (dict(r), rel)

@@ -71,6 +71,7 @@ QUERIES = [
     ("q_shortest_path_bounded", "Bellman-Ford: capped weighted edges persist on src; improved-frontier joins"),
     ("d_setsim_prefix_join", "prefix-filter exact join: broadcast freq, rare-shingle inverted index, array_intersect verify"),
     ("q_merkle_reconcile", "Merkle diff: map-side xor digests per bucket, broadcast bad-bucket prune, outer join only drifted rows"),
+    ("q_kmv_intersect", "KMV sketch: one dedup shuffle + per-segment top-k window; pair merge on kilobyte arrays"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
