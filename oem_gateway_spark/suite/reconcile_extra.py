@@ -130,12 +130,23 @@ def d_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s", F.size("toks").cast("long"))
         .persist()  # feeds freq, the ordered prefix, and BOTH verify sides
     )
+    return _own_cache(prefix_filter_join(toks), toks)
+
+
+def prefix_filter_join(
+    toks: DataFrame, num: int = _SIM_NUM, den: int = _SIM_DEN
+) -> DataFrame:
+    """All (id_a < id_b, jaccard) pairs with set-Jaccard >= num/den over
+    ``toks`` (columns: doc_id, toks array<string> DISTINCT, s = size as
+    long) — the prefix-filtering engine behind d_setsim_prefix_join,
+    factored out so the recall-losslessness property test can drive it
+    over adversarial synthetic sets against a brute-force reference."""
     grams = toks.select("doc_id", "s", F.explode("toks").alias("token"))
     freq = grams.groupBy("token").agg(F.count("*").alias("f"))
     w = Window.partitionBy("doc_id").orderBy("f", "token")
     prefix_len = (
         F.col("s")
-        - F.expr(f"({_SIM_NUM} * s + {_SIM_DEN} - 1) div {_SIM_DEN}")
+        - F.expr(f"({num} * s + {den} - 1) div {den}")
         + F.lit(1)
     )
     prefix = (
@@ -153,10 +164,7 @@ def d_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, "token")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            _SIM_DEN * F.least("sa", "sb")
-            >= _SIM_NUM * F.greatest("sa", "sb")
-        )
+        .filter(den * F.least("sa", "sb") >= num * F.greatest("sa", "sb"))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -171,7 +179,7 @@ def d_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("sb"),
     )
     i = F.size(F.array_intersect("ta", "tb")).cast("long")
-    out = (
+    return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
@@ -181,9 +189,8 @@ def d_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= _SIM_NUM * 1.0 / _SIM_DEN)
+        .filter(F.col("jaccard") >= num * 1.0 / den)
     )
-    return _own_cache(out, toks)
 
 
 _MERKLE_BUCKETS = 64

@@ -194,3 +194,50 @@ def test_semdedup_drops_exactly_the_constructed_copies(spark):
         assert r["n_survivors"] == r["n_vectors"] - r["n_dropped"]
         # copies land in their source's cluster: every cluster is half copies
         assert r["n_dropped"] * 2 == r["n_vectors"], r
+
+
+def test_prefix_filter_join_recall_lossless_random_sets(spark):
+    """The prefix-filtering theorem, empirically: over seeded random
+    token sets drawn from a SMALL vocabulary (so pairs crowd the 0.7
+    threshold from both sides), the Spark join returns EXACTLY the
+    brute-force jaccard-threshold pair set — no missed pair (recall)
+    and no extra pair (the verify stage).  Exact-rational comparison on
+    the reference side; set sizes <= 24 keep every achievable jaccard
+    more than 1e-6 away from the threshold, so round(.,6) cannot blur
+    membership."""
+    from fractions import Fraction
+
+    from oem_gateway_spark.suite.reconcile_extra import (
+        _SIM_DEN,
+        _SIM_NUM,
+        prefix_filter_join,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(12)]
+    for trial in range(3):
+        docs = []
+        for did in range(60):
+            size = rng.randint(1, min(24, len(vocab)))
+            docs.append((did, sorted(rng.sample(vocab, size))))
+        expected = set()
+        thr = Fraction(_SIM_NUM, _SIM_DEN)
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                ia, ta = docs[x]
+                ib, tb = docs[y]
+                inter = len(set(ta) & set(tb))
+                if inter and Fraction(inter, len(ta) + len(tb) - inter) >= thr:
+                    expected.add((ia, ib))
+        toks = spark.createDataFrame(
+            [(d, t, len(t)) for d, t in docs],
+            "doc_id long, toks array<string>, s long",
+        )
+        got = {
+            (r.id_a, r.id_b) for r in prefix_filter_join(toks).collect()
+        }
+        assert got == expected, (
+            trial,
+            sorted(expected - got)[:5],
+            sorted(got - expected)[:5],
+        )

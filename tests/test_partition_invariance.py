@@ -32,6 +32,17 @@ QUERIES = [
     "d_heavy_hitters",
     "t_unigram_logprob",
     "q_scd2_apply",
+    # round 6: MERGE's change-feed aggregate must be layout-stable (it
+    # sums INTEGER cents — the double-sum it replaced was not); the
+    # prefix-filter join's candidate set varies with partitioning but
+    # the verified output must not; Merkle bucket digests xor-combine
+    # (order-free by construction); KMV k-min sketches are order
+    # statistics (layout-free); shortest-path costs are integer mins
+    "q_merge_upsert",
+    "d_setsim_prefix_join",
+    "q_merkle_reconcile",
+    "q_kmv_intersect",
+    "q_shortest_path_bounded",
 ]
 
 
