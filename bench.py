@@ -94,6 +94,7 @@ HEADLINE = [
     "d_setsim_prefix_join",
     "q_merkle_reconcile",
     "q_kmv_intersect",
+    "q_dpp_prune",
 ]
 
 

@@ -755,3 +755,14 @@ def test_kmv_sketch_build_shape(spark):
         from oem_gateway_spark.operators.dedup import release_caches
 
         release_caches(df)
+
+
+def test_dpp_runtime_pruning_in_fact_scan(spark):
+    """Dynamic partition pruning must fire: the hive-partitioned fact
+    scan carries a dynamicpruning expression in its PartitionFilters
+    (runtime dim values prune directories before I/O) — a static plan
+    cannot know the 2 surviving priorities."""
+    df = REGISTRY["q_dpp_prune"].fn(spark, SF)
+    text = explain_str(df)
+    assert "dynamicpruning" in text.lower(), text
+    assert "PartitionFilters" in text, text

@@ -72,6 +72,7 @@ QUERIES = [
     ("d_setsim_prefix_join", "prefix-filter exact join: broadcast freq, rare-shingle inverted index, array_intersect verify"),
     ("q_merkle_reconcile", "Merkle diff: map-side xor digests per bucket, broadcast bad-bucket prune, outer join only drifted rows"),
     ("q_kmv_intersect", "KMV sketch: one dedup shuffle + per-segment top-k window; pair merge on kilobyte arrays"),
+    ("q_dpp_prune", "dynamic partition pruning: runtime dim values injected into the fact scan's PartitionFilters"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
