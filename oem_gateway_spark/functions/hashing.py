@@ -44,13 +44,24 @@ def words_sql(expr: str) -> str:
 
 def shingles(word_arr: Column, k: int = 3) -> Column:
     """k-word shingles joined by single spaces; texts shorter than k words
-    collapse to one whole-text shingle (so every doc has >= 1 shingle)."""
+    collapse to one whole-text shingle (so every doc has >= 1 shingle).
+
+    Built as a zip_with fold over k shifted slices of the word array
+    (gram i = words[i] .. words[i+k-1]), not transform(sequence(..),
+    i -> array_join(slice(arr, i, k))): the slice-per-gram form
+    re-copies k elements per output gram (O(n*k) array work per doc in
+    interpreted HOF eval), while the fold does k-1 whole-array zips —
+    measured 2.3x faster at sf0.1 with bit-identical output
+    (tools notes, round 6)."""
+    n = F.size(word_arr)
     full = F.array(F.array_join(word_arr, " "))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(word_arr) - k + 1),
-        lambda i: F.array_join(F.slice(word_arr, i, k), " "),
-    )
-    return F.when(F.size(word_arr) >= k, grams).otherwise(full)
+    grams = F.slice(word_arr, 1, n - (k - 1))
+    for j in range(2, k + 1):
+        nxt = F.slice(word_arr, j, n - (k - 1))
+        grams = F.zip_with(
+            grams, nxt, lambda acc, w: F.concat_ws(" ", acc, w)
+        )
+    return F.when(n >= k, grams).otherwise(full)
 
 
 def shingles_sql(words_expr: str, k: int = 3) -> str:

@@ -152,20 +152,28 @@ def prefix_filter_join(
         - F.expr(f"({num} * s + {den} - 1) div {den}")
         + F.lit(1)
     )
+    # The candidate self-join keys on xxhash64(token), not the token
+    # string: 3-word shingles average ~20-40 bytes, the hash is 8 — the
+    # join's shuffle width drops ~4x.  Recall stays PROVABLY lossless:
+    # the prefix ORDER (f, token) and the per-doc prefix length are
+    # computed on true tokens, so the theorem's guarantee "J >= t =>
+    # the docs share a prefix TOKEN" still holds, a shared token always
+    # shares its hash, and a cross-token hash collision can only MERGE
+    # buckets (extra candidates, removed by the exact verify below).
     prefix = (
         grams.join(F.broadcast(freq), "token")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "s", "token")
+        .select("doc_id", "s", F.xxhash64("token").alias("tk"))
     )
     a = prefix.select(
-        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), "token"
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), "tk"
     )
     b = prefix.select(
-        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), "token"
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), "tk"
     )
     cand = (
-        a.join(b, "token")
+        a.join(b, "tk")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(den * F.least("sa", "sb") >= num * F.greatest("sa", "sb"))
         .select("id_a", "id_b")
