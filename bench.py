@@ -95,6 +95,7 @@ HEADLINE = [
     "q_merkle_reconcile",
     "q_kmv_intersect",
     "q_dpp_prune",
+    "q_percentile_select",
 ]
 
 

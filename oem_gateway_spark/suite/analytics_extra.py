@@ -579,3 +579,42 @@ def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c") * F.count("*") * F.lit(1.0) / F.sum("c"), 6
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "q_percentile_select",
+    oracle="""
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem WHERE x IS NOT NULL),
+    c AS (SELECT count(*) AS n FROM v),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+    qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT qs.q AS q,
+           CAST(ceil(qs.q * c.n) AS BIGINT) AS k,
+           round(ranked.x, 6) AS val
+    FROM qs CROSS JOIN c
+    JOIN ranked ON ranked.rn = CAST(ceil(qs.q * c.n) AS BIGINT)
+    ORDER BY q
+    """,
+)
+def q_percentile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global order statistics (p50/p90/p99 of l_extendedprice, as
+    the k = ceil(q*n)-th smallest VALUE) via operators/selection.py's
+    iterative histogram narrowing — a plan shape no other registry query
+    exercises: DRIVER-COORDINATED AGGREGATE-NARROWED SELECTION, where
+    each round is one full scan collapsing map-side to <= |targets| x 64
+    histogram rows, and nothing is ever globally sorted.  The existing
+    q_exact_percentiles is the interpolated per-GROUP aggregate (Spark's
+    percentile(), a per-group sort); this is the 100 TB path for exact
+    global ranks, where a total sort is a full-data range shuffle but
+    log_64(range) kilobyte-shuffle scans are cheap.  The oracle is the
+    definitionally-exact row_number() formulation.  Result values are
+    actual data values (no interpolation), so the hash compare is exact
+    by construction."""
+    from oem_gateway_spark.operators.selection import exact_order_statistics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = exact_order_statistics(li, "l_extendedprice", [0.5, 0.9, 0.99])
+    return spark.createDataFrame(
+        [(q, k, round(v, 6)) for q, k, v in stats],
+        schema="q double, k long, val double",
+    ).orderBy("q")

@@ -43,6 +43,10 @@ QUERIES = [
     "q_merkle_reconcile",
     "q_kmv_intersect",
     "q_shortest_path_bounded",
+    # round 6b: histogram-narrowing selection — per-bucket counts are
+    # layout-free sums and the answer is always an actual data value,
+    # so the interval descent cannot depend on partitioning
+    "q_percentile_select",
 ]
 
 

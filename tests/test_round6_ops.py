@@ -149,3 +149,60 @@ def test_kmv_estimate_accuracy(spark):
         if r["exact_inter"] >= 50:
             rel = abs(r["est_inter"] - r["exact_inter"]) / r["exact_inter"]
             assert rel <= 0.10, (dict(r), rel)
+
+
+class TestExactSelection:
+    """operators/selection.py: exact order statistics without a sort.
+
+    The driver witness (q_percentile_select) runs at sf0.01 where the
+    default collect_cap resolves p50/p90 after one narrowing round;
+    these tests shrink the knobs so multi-round narrowing, the min==max
+    early exit, and duplicate pile-ups all demonstrably execute.
+    """
+
+    def _brute(self, xs, q):
+        import math
+
+        k = max(1, math.ceil(q * len(xs)))
+        return k, sorted(xs)[k - 1]
+
+    def test_multi_round_narrowing_exact(self, spark):
+        from oem_gateway_spark.operators.selection import exact_order_statistics
+
+        # 10k distinct-ish floats; cap=50 forces several histogram rounds.
+        xs = [((i * 2654435761) % 100003) / 7.0 for i in range(10000)]
+        df = spark.createDataFrame([(v,) for v in xs], "x double")
+        qs = [0.01, 0.5, 0.999]
+        got = exact_order_statistics(df, "x", qs, n_buckets=8, collect_cap=50)
+        for (q, k, v), want_q in zip(got, qs):
+            bk, bv = self._brute(xs, want_q)
+            assert (q, k) == (want_q, bk)
+            assert v == bv, f"q={q}: got {v} want {bv}"
+
+    def test_duplicate_pileup_resolves_via_min_eq_max(self, spark):
+        from oem_gateway_spark.operators.selection import exact_order_statistics
+
+        # 9000 copies of one value surrounding the median: the narrowing
+        # loop can never split them; only the observed-min==max exit can
+        # resolve, regardless of collect_cap.
+        xs = [1.0] * 400 + [42.5] * 9000 + [99.0] * 600
+        df = spark.createDataFrame([(v,) for v in xs], "x double")
+        got = exact_order_statistics(df, "x", [0.5], n_buckets=4, collect_cap=10)
+        assert got == [(0.5, 5000, 42.5)]
+
+    def test_nulls_excluded_and_edge_quantiles(self, spark):
+        from oem_gateway_spark.operators.selection import exact_order_statistics
+
+        xs = [3.0, 1.0, None, 2.0, None, 5.0, 4.0]
+        df = spark.createDataFrame([(v,) for v in xs], "x double")
+        got = exact_order_statistics(df, "x", [0.0001, 1.0], collect_cap=2)
+        assert got == [(0.0001, 1, 1.0), (1.0, 5, 5.0)]
+
+    def test_empty_raises(self, spark):
+        import pytest as _pytest
+
+        from oem_gateway_spark.operators.selection import exact_order_statistics
+
+        df = spark.createDataFrame([], "x double")
+        with _pytest.raises(ValueError):
+            exact_order_statistics(df, "x", [0.5])

@@ -79,6 +79,9 @@ PROBES = [
                                 # dominate prefixes
     "q_merkle_reconcile",       # two digest scans + diff bounded by drift —
                                 # must stay linear in input, flat in output
+    "q_percentile_select",      # histogram-narrowing selection: scans x
+                                # (2 + rounds); rounds grow ~log_64(n/cap),
+                                # so near-linear with a tiny log factor
 ]
 
 
