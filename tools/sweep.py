@@ -26,6 +26,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--slow", type=float, default=10.0)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names: sweep just these (late-round "
+        "additions after the full sweep already ran)",
+    )
     args = ap.parse_args()
 
     from oem_gateway_spark import get_spark
@@ -44,8 +50,14 @@ def main() -> None:
         ).mode("overwrite").save()
     except Exception as e:  # noqa: BLE001 - warmup must not kill the sweep
         print(f"warmup skipped: {type(e).__name__}", flush=True)
+    only = {n.strip() for n in args.only.split(",") if n.strip()}
+    unknown = only - REGISTRY.keys()
+    if unknown:
+        sys.exit(f"--only names not in registry: {sorted(unknown)}")
     slow, failed = [], []
     for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, args.sf)
