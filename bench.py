@@ -96,6 +96,7 @@ HEADLINE = [
     "q_kmv_intersect",
     "q_dpp_prune",
     "q_percentile_select",
+    "q_bloom_prune",
 ]
 
 

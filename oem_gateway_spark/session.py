@@ -32,6 +32,12 @@ DEFAULT_CONF: dict[str, str] = {
     # at 100 TB the fact side never broadcasts, the dim side always should).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Runtime bloom-filter join pruning on (Spark default); the app-side
+    # scan threshold is listed so ensure_runtime_conf RESETS it after
+    # q_bloom_prune lowers it to witness the injection at test scale —
+    # at 100 TB the 10GB default triggers on any real fact scan.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
     # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no nanos
     # type — read as long and let the catalog convert to a µs timestamp
     # (values are exact µs, verified; DuckDB agrees bit-for-bit).
@@ -60,6 +66,8 @@ RUNTIME_CONF_KEYS: tuple[str, ...] = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.files.maxPartitionBytes",
     "spark.sql.parquet.filterPushdown",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
 )
 
 

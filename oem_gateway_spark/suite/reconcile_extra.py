@@ -19,6 +19,10 @@ Both target plan shapes no existing registry query covers (VERDICT r5 #8):
 - ``q_dpp_prune``: dynamic partition pruning — runtime dim values
   injected into a hive-partitioned fact scan's PartitionFilters, the
   one Catalyst physical-optimization lever the registry didn't witness.
+- ``q_bloom_prune``: runtime bloom-filter join pruning — the ROW-level
+  counterpart to DPP's directory-level pruning: InjectRuntimeFilter
+  drops fact rows that cannot join BEFORE the shuffle via
+  ``might_contain`` on the join key.
 
 Reference parity: the reference gateway has no analytics engine; these
 extend the §2.6 engine surface (SURVEY.md) for the LLM-pipeline brief
@@ -571,5 +575,59 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.floor(F.col("o_totalprice") * 100 + 0.5)
             ).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q_bloom_prune",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 2
+    GROUP BY p.p_brand
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: lineitem joins a selectively
+    filtered part (p_size <= 2, runtime-opaque selectivity) with
+    broadcast disabled, and Catalyst's InjectRuntimeFilter builds a
+    bloom filter from the dim's join keys and applies
+    ``might_contain(xxhash64(l_partkey))`` to the FACT SCAN — rows that
+    cannot join are dropped before the shuffle, not after it.
+
+    New plan surface: the row-level counterpart to q_dpp_prune.  DPP
+    prunes whole partition DIRECTORIES via partition-column filters;
+    the bloom filter prunes ROWS on non-partition join keys — together
+    they are Spark's two runtime scan-reduction levers, and the
+    registry now witnesses both.  At 100 TB this is the difference
+    between shuffling the full fact table and shuffling the ~selectivity
+    fraction that can actually join (a 2% dim filter keeps ~2% of fact
+    shuffle bytes, minus bloom false positives).
+
+    The query lowers the app-side scan-size threshold (10GB default —
+    right for production, unreachable at test scale) and disables
+    broadcast so the shuffle-join injection path executes; BOTH confs
+    are in session.RUNTIME_CONF_KEYS, so the registry wrapper resets
+    them on the next query call — the mutation cannot leak across
+    queries.  A bloom filter has no false negatives, so results are
+    identical to the plain join (the oracle); the plan test pins
+    might_contain + bloom_filter_agg in the optimized plan."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )

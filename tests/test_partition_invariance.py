@@ -47,6 +47,10 @@ QUERIES = [
     # layout-free sums and the answer is always an actual data value,
     # so the interval descent cannot depend on partitioning
     "q_percentile_select",
+    # bloom pruning has no false negatives and the aggregate sums
+    # integer-cast quantities — results must be identical to the plain
+    # join at any layout (the filter only changes I/O, never rows)
+    "q_bloom_prune",
 ]
 
 

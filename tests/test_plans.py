@@ -766,3 +766,23 @@ def test_dpp_runtime_pruning_in_fact_scan(spark):
     text = explain_str(df)
     assert "dynamicpruning" in text.lower(), text
     assert "PartitionFilters" in text, text
+
+
+def test_bloom_runtime_filter_on_fact_side(spark):
+    """InjectRuntimeFilter must fire: the optimized plan carries a
+    might_contain(...) probe on the fact's join key fed by a
+    bloom_filter_agg over the filtered dim — rows that cannot join are
+    dropped BEFORE the fact shuffle.  Also proves the conf mutation
+    cannot leak: the registry wrapper resets both knobs on the next
+    query call."""
+    df = REGISTRY["q_bloom_prune"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt, opt
+    assert "bloom_filter_agg" in opt, opt
+    # thresholds are aggressive while q_bloom_prune's plan is live...
+    thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    assert spark.conf.get(thresh) == "0"
+    # ...and restored by the wrapper as soon as any other query runs.
+    REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    assert spark.conf.get(thresh) == "10GB"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"

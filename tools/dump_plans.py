@@ -73,6 +73,7 @@ QUERIES = [
     ("q_merkle_reconcile", "Merkle diff: map-side xor digests per bucket, broadcast bad-bucket prune, outer join only drifted rows"),
     ("q_kmv_intersect", "KMV sketch: one dedup shuffle + per-segment top-k window; pair merge on kilobyte arrays"),
     ("q_dpp_prune", "dynamic partition pruning: runtime dim values injected into the fact scan's PartitionFilters"),
+    ("q_bloom_prune", "runtime bloom-filter join pruning: might_contain(xxhash64(key)) drops fact rows before the shuffle"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
