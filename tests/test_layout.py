@@ -119,9 +119,21 @@ def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
     lo_b, hi_b = 2, 4       # box on l_suppkey
 
     def files_touched(path):
+        # repartitionByRange samples split points with an rdd.id-derived
+        # seed, so boundary files can be near-empty SLIVERS whose narrow
+        # stats skip predicates no real file could (observed once in a
+        # full-suite run where the accumulated rdd.id shifted the sample).
+        # Skip-rate assertions are about real files: ignore files holding
+        # <1% of the rows.
+        metas = [
+            pq.read_metadata(f)
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        ]
+        min_rows = 0.01 * sum(md.num_rows for md in metas)
         touched, total = 0, 0
-        for f in glob.glob(os.path.join(path, "*.parquet")):
-            md = pq.read_metadata(f)
+        for md in metas:
+            if md.num_rows < min_rows:
+                continue
             mins = {"l_partkey": None, "l_suppkey": None}
             maxs = {"l_partkey": None, "l_suppkey": None}
             for rg in range(md.num_row_groups):
