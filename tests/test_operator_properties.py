@@ -241,3 +241,35 @@ def test_prefix_filter_join_recall_lossless_random_sets(spark):
             sorted(expected - got)[:5],
             sorted(got - expected)[:5],
         )
+
+
+def test_exact_order_statistics_random_distributions(spark):
+    """exact_order_statistics must equal the brute-force sorted rank for
+    random distributions (seeded batch, one Spark DF per case — same
+    rationale as the salted-join test): uniform floats, heavy duplicate
+    pile-ups, negatives, exponential skew, and tiny n, across quantiles
+    including both edges, with a cap small enough to force narrowing."""
+    import math as _math
+
+    from oem_gateway_spark.operators.selection import exact_order_statistics
+
+    rng = random.Random(0xC0FFEE)
+    cases = [
+        [rng.uniform(-1e6, 1e6) for _ in range(3000)],
+        [float(rng.randint(0, 8)) for _ in range(4000)],    # heavy dups
+        [rng.expovariate(1e-3) for _ in range(2500)],        # skew
+        [-abs(rng.gauss(0, 1)) for _ in range(1500)],        # all negative
+        [7.25] * 997,                                        # constant
+        [rng.uniform(0, 1)],                                 # n == 1
+    ]
+    qs = [0.001, 0.25, 0.5, 0.9, 1.0]
+    for xs in cases:
+        df = spark.createDataFrame([(v,) for v in xs], "x double")
+        got = exact_order_statistics(
+            df, "x", qs, n_buckets=8, collect_cap=40
+        )
+        srt = sorted(xs)
+        for (q, k, v), want_q in zip(got, qs):
+            bk = max(1, _math.ceil(want_q * len(xs)))
+            assert (q, k) == (want_q, bk), (len(xs), q, k, bk)
+            assert v == srt[bk - 1], (len(xs), q, v, srt[bk - 1])
