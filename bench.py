@@ -186,8 +186,20 @@ def main() -> None:
         except (OSError, KeyError, ValueError, TypeError):
             return None
 
-    r4_wall = _comparable_wall("BENCH_r04.json")
-    r5_wall = _comparable_wall("BENCH_r05.json")
+    # One comparable wall per recorded round >= r4 (r2 is the hand-frozen
+    # set above; r1/r3 artifacts predate the queries-dict format), so next
+    # round's drift check is one subtraction with no bench.py edit.
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    walls: dict[str, float | None] = {}
+    for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < 4:
+            continue
+        walls[f"r{int(m.group(1))}_comparable_wall"] = _comparable_wall(
+            os.path.basename(path)
+        )
 
     # Headline throughput vs the reference: frames parsed per second
     # through the full serial classify+parse+explode chain.  The reference
@@ -206,8 +218,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r2_comparable_wall": r2_wall,
-                "r4_comparable_wall": r4_wall,
-                "r5_comparable_wall": r5_wall,
+                **walls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "parse_frames_per_sec": frames_per_sec,
                 "reference_frames_per_sec": 5.0,
