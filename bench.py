@@ -192,14 +192,19 @@ def main() -> None:
     import glob as _glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    walls: dict[str, float | None] = {}
-    for path in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) < 4:
-            continue
-        walls[f"r{int(m.group(1))}_comparable_wall"] = _comparable_wall(
-            os.path.basename(path)
-        )
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    # Emit every round from r4 up to the newest artifact, null when one is
+    # missing or unparseable (the 'null, not 0.0' contract: a missing
+    # baseline must never read as an infinite speedup or a silently
+    # skipped drift check).
+    walls: dict[str, float | None] = {
+        f"r{n}_comparable_wall": _comparable_wall(f"BENCH_r{n:02d}.json")
+        for n in range(4, max(rounds, default=3) + 1)
+    }
 
     # Headline throughput vs the reference: frames parsed per second
     # through the full serial classify+parse+explode chain.  The reference

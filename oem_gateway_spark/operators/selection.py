@@ -77,8 +77,15 @@ def exact_order_statistics(
 
     ``df`` is scanned (2 + iterations) times; persist it upstream if the
     source is not a cheap parquet scan.  NULLs are excluded (SQL rank
-    semantics).  Raises ValueError on an empty column.
+    semantics).  Raises ValueError on an empty column or a quantile
+    outside (0, 1] — q > 1 would otherwise die rounds later with an
+    opaque descent error (rank beyond n), and q <= 0 would silently
+    clamp to rank 1 where the row_number() oracle formulation yields no
+    row at all.
     """
+    bad_q = [q for q in quantiles if not (0.0 < q <= 1.0)]
+    if bad_q:
+        raise ValueError(f"quantiles must be in (0, 1], got {bad_q}")
     x = F.col(col).cast("double")
     vals = df.select(x.alias("x")).where(F.col("x").isNotNull())
 

@@ -77,5 +77,11 @@ def test_shuffle_partition_invariance(spark, name):
         high = _rows(spark, name)
     finally:
         S.DEFAULT_CONF["spark.sql.shuffle.partitions"] = original
-        spark.conf.set("spark.sql.shuffle.partitions", original)
+        # Re-assert ALL runtime conf, not just the varied key: queries
+        # that mutate session conf as part of their contract (q_bloom_prune
+        # lowers the bloom threshold and disables broadcast) rely on the
+        # NEXT registry call to reset — which never comes when they are the
+        # last case here.  Without this, later tests plan under the
+        # mutated conf depending on collection order.
+        S.ensure_runtime_conf(spark)
     assert low == high

@@ -775,14 +775,21 @@ def test_bloom_runtime_filter_on_fact_side(spark):
     dropped BEFORE the fact shuffle.  Also proves the conf mutation
     cannot leak: the registry wrapper resets both knobs on the next
     query call."""
-    df = REGISTRY["q_bloom_prune"].fn(spark, SF)
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "might_contain" in opt, opt
-    assert "bloom_filter_agg" in opt, opt
-    # thresholds are aggressive while q_bloom_prune's plan is live...
+    from oem_gateway_spark.session import ensure_runtime_conf
+
     thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    assert spark.conf.get(thresh) == "0"
-    # ...and restored by the wrapper as soon as any other query runs.
-    REGISTRY["q1_pricing_summary"].fn(spark, SF)
-    assert spark.conf.get(thresh) == "10GB"
-    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    try:
+        df = REGISTRY["q_bloom_prune"].fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        # thresholds are aggressive while q_bloom_prune's plan is live...
+        assert spark.conf.get(thresh) == "0"
+        # ...and restored by the wrapper as soon as any other query runs.
+        REGISTRY["q1_pricing_summary"].fn(spark, SF)
+        assert spark.conf.get(thresh) == "10GB"
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    finally:
+        # don't leak the mutation into later tests if an assert fires
+        # before the wrapper-reset step above
+        ensure_runtime_conf(spark)

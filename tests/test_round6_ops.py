@@ -206,3 +206,13 @@ class TestExactSelection:
         df = spark.createDataFrame([], "x double")
         with _pytest.raises(ValueError):
             exact_order_statistics(df, "x", [0.5])
+
+    def test_invalid_quantiles_raise(self, spark):
+        import pytest as _pytest
+
+        from oem_gateway_spark.operators.selection import exact_order_statistics
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        for bad in ([1.5], [0.0], [-0.1], [0.5, 2.0]):
+            with _pytest.raises(ValueError, match="quantiles"):
+                exact_order_statistics(df, "x", bad)

@@ -109,6 +109,14 @@ def main() -> None:
             f"shuffle exchanges: {num_exchanges(df)}; "
             f"pushed filters: {pushed_filters(df) or 'none'}"
         )
+        # Cap LINES, not the tail: one oversized expression (the unrolled
+        # zip_with shingle Generate is several KB) must not push the plan's
+        # final operators (TakeOrderedAndProject, AdaptiveSparkPlan) out of
+        # the document — those are exactly what a reader checks.
+        body = "\n".join(
+            (ln[:500] + " …<expr trimmed>") if len(ln) > 500 else ln
+            for ln in text.strip().splitlines()
+        )[:8000]
         out += [
             f"## {name}",
             "",
@@ -116,7 +124,7 @@ def main() -> None:
             f"`{summary}`",
             "",
             "```",
-            text.strip()[:4000],
+            body,
             "```",
             "",
         ]

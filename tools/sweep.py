@@ -38,6 +38,12 @@ def main() -> None:
     from oem_gateway_spark.operators.dedup import release_caches
     from oem_gateway_spark.suite import REGISTRY
 
+    # validate --only BEFORE paying the session + warmup cold-start
+    only = {n.strip() for n in args.only.split(",") if n.strip()}
+    unknown = only - REGISTRY.keys()
+    if unknown:
+        sys.exit(f"--only names not in registry: {sorted(unknown)}")
+
     spark = get_spark(app_name="registry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup (excluded from timings): without it the first
@@ -50,10 +56,6 @@ def main() -> None:
         ).mode("overwrite").save()
     except Exception as e:  # noqa: BLE001 - warmup must not kill the sweep
         print(f"warmup skipped: {type(e).__name__}", flush=True)
-    only = {n.strip() for n in args.only.split(",") if n.strip()}
-    unknown = only - REGISTRY.keys()
-    if unknown:
-        sys.exit(f"--only names not in registry: {sorted(unknown)}")
     slow, failed = [], []
     for name, spec in REGISTRY.items():
         if only and name not in only:
