@@ -97,6 +97,12 @@ HEADLINE = [
     "q_dpp_prune",
     "q_percentile_select",
     "q_bloom_prune",
+    # round-7 additions
+    "q_ivm_delta",
+    "q_cdc_changelog",
+    "q_bitmap_distinct",
+    "q_interval_union",
+    "stream_session_assign",
 ]
 
 
@@ -182,6 +188,12 @@ def main() -> None:
                             break
                 if names is None:
                     return None
+            # The wall is only comparable when EVERY query the old round
+            # timed was timed this run too: if one is later dropped or
+            # renamed from HEADLINE, a partial sum would silently shrink
+            # and read as a speedup.  null = incomparable, never faster.
+            if names - timings.keys():
+                return None
             return round(sum(t for q, t in timings.items() if q in names), 3)
         except (OSError, KeyError, ValueError, TypeError):
             return None

@@ -175,16 +175,41 @@ def exact_order_statistics(
             ).otherwise(F.lit(-1))
             for rid, t in pending
         ]
+        # Collect DISTINCT values with counts, not raw rows: targets that
+        # exited via cnt <= collect_cap transfer at most cnt rows either
+        # way, but width-guard / max_iters fall-throughs can still hold
+        # huge intervals — on the pathological near-identical-value data
+        # that triggers them, those are FEW distinct doubles repeated many
+        # times, so grouping by value keeps the driver transfer bounded
+        # where a raw collect would be driver-OOM-scale.  The hard cap
+        # turns the residual adversarial case (many distinct values AND
+        # no convergence) into a loud error instead of a silent OOM.
+        hard_cap = max(collect_cap, 1) * max(len(pending), 1) * 4
         rows = (
             vals.select("x", F.explode(F.array(*structs)).alias("rid"))
             .where(F.col("rid") >= 0)
-            .collect()  # <= |pending| * collect_cap rows, bounded above
+            .groupBy("rid", "x")
+            .agg(F.count("*").alias("cnt"))
+            .limit(hard_cap + 1)
+            .collect()
         )
-        per: dict[int, list[float]] = {rid: [] for rid, _ in pending}
+        if len(rows) > hard_cap:
+            raise RuntimeError(
+                "exact_order_statistics: final collect exceeded "
+                f"{hard_cap} distinct (target, value) rows — histogram "
+                "narrowing did not converge; raise max_iters or n_buckets"
+            )
+        per: dict[int, list[tuple[float, int]]] = {rid: [] for rid, _ in pending}
         for row in rows:
-            per[row["rid"]].append(row["x"])
+            per[row["rid"]].append((row["x"], int(row["cnt"])))
         for rid, t in pending:
-            got = sorted(per[rid])
-            t.answer = got[t.k_rem - 1]
+            k = t.k_rem
+            for val, cnt in sorted(per[rid]):
+                if cnt >= k:
+                    t.answer = val
+                    break
+                k -= cnt
+            else:  # pragma: no cover — counts changed under us
+                raise RuntimeError("final scan lost the target rank")
 
     return [(t.q, t.k, float(t.answer)) for t in targets]

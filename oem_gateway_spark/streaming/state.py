@@ -608,6 +608,119 @@ def ewma_stream(
     )
 
 
+def session_assign_stream(
+    stream: DataFrame,
+    gap_ms: int = 1_800_000,
+    key_col: str = "node",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming session ASSIGNMENT: every event is labeled with the
+    start timestamp of the inactivity-gap session it belongs to
+    (a new session opens when the gap since the key's previous event
+    exceeds ``gap_ms``), with the open session carried across
+    micro-batch boundaries.
+
+    New state shape for the stream-batch-unification family: a MERGING
+    INTERVAL — (last_ts_ms, session_start_ms) — where the existing
+    stateful twins carry a scalar recurrence (ewma_stream), a scalar
+    carry (locf_fill), a bounded ordered collection
+    (topk_admission_stream), or per-key counters (node_running_stats).
+    This is the state that powers engine-managed session_window
+    aggregation; assigning (rather than aggregating) keeps the output
+    per-event, so the streaming answer equals the batch
+    gaps-and-islands twin ROW FOR ROW with pure integer-ms arithmetic —
+    an exact shared oracle, no tolerance.
+
+    State is O(1) per key (two longs); ``timeout_minutes=None`` for
+    bounded availableNow replays (see node_running_stats).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("session_start_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ms", LongType()),
+            StructField("sess_start_ms", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["ts_ms", "event_id"], kind="stable", ignore_index=True
+        )
+        last_ms, sess_start = (
+            (int(state.get[0]), int(state.get[1])) if state.exists else (None, None)
+        )
+        starts = []
+        for ts in pdf["ts_ms"].astype("int64"):
+            ts = int(ts)
+            if last_ms is None or ts - last_ms > gap_ms:
+                sess_start = ts
+            last_ms = ts
+            starts.append(sess_start)
+        state.update((last_ms, sess_start))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "node": node,
+                "event_id": pdf["event_id"].astype("int64"),
+                "ts_ms": pdf["ts_ms"].astype("int64"),
+                "session_start_ms": starts,
+            }
+        )
+
+    return (
+        # Normalize ALL column names to constants before the state op
+        # (the sibling helpers' convention).
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"CAST({id_col} AS LONG) AS event_id",
+            f"CAST({ts_ms_col} AS LONG) AS ts_ms",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
+
+
 def topk_admission_stream(
     stream: DataFrame,
     k: int = 5,
@@ -683,7 +796,7 @@ def topk_admission_stream(
             vals, ids = [], []
         top = list(zip(vals, ids))
         admitted = []
-        for x, eid in zip(pdf[value_col].astype(float), pdf[id_col]):
+        for x, eid in zip(pdf["value"].astype(float), pdf["event_id"]):
             eid = int(eid)
             n_better = sum(1 for v, i in top if beats(v, i, x, eid))
             admitted.append(n_better < k)
@@ -696,17 +809,21 @@ def topk_admission_stream(
         yield pd.DataFrame(
             {
                 "node": node,
-                "event_id": pdf[id_col].astype("int64"),
+                "event_id": pdf["event_id"].astype("int64"),
                 "admitted": admitted,
             }
         )
 
     return (
+        # Normalize ALL column names to constants before the state op
+        # (the sibling helpers' convention — ADVICE r6: keeping {id_col}/
+        # {value_col} here made any non-default id_col KeyError inside
+        # the UDF's hardcoded sort).
         stream.selectExpr(
             f"CAST({key_col} AS INT) AS node",
-            f"CAST({id_col} AS LONG) AS {id_col}",
+            f"CAST({id_col} AS LONG) AS event_id",
             f"CAST({ts_ms_col} AS LONG) AS ts_ms",
-            f"CAST({value_col} AS DOUBLE) AS {value_col}",
+            f"CAST({value_col} AS DOUBLE) AS value",
         )
         .groupBy("node")
         .applyInPandasWithState(

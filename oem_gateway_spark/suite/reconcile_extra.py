@@ -529,8 +529,8 @@ def _dpp_orders_path(spark: SparkSession, sf_dir: str) -> str:
         FROM orders GROUP BY o_orderpriority)
       WHERE rk <= 2)
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
-             AS revenue_cents
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_cents
     FROM orders o JOIN dim ON o.o_orderpriority = dim.pri
     GROUP BY o.o_orderpriority
     """,
@@ -615,6 +615,8 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries.  A bloom filter has no false negatives, so results are
     identical to the plain join (the oracle); the plan test pins
     might_contain + bloom_filter_agg in the optimized plan."""
+    from oem_gateway_spark.session import ensure_runtime_conf
+
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter."
         "applicationSideScanSizeThreshold",
@@ -623,11 +625,32 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
-    return (
-        li.join(pt, li.l_partkey == pt.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    try:
+        out = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            )
         )
-    )
+        # The frame is lazy but the conf mutation is immediate, so without
+        # this the injection would depend on nothing resetting the conf
+        # between build and first action (ADVICE r6: ensure_runtime_conf on
+        # the NEXT registry build would silently strip it).  Forcing the
+        # optimized plan here pins it: QueryExecution's phases are cached
+        # lazy vals on the returned DataFrame, so the bloom-injected plan
+        # survives any later conf reset — and we verify the injection
+        # actually happened rather than hoping.
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        if "might_contain" not in optimized:
+            raise RuntimeError(
+                "q_bloom_prune: InjectRuntimeFilter did not fire — "
+                "bloom-filter conf was reset between build and plan time?"
+            )
+        return out
+    finally:
+        # Restore defaults immediately: autoBroadcastJoinThreshold=-1 must
+        # not leak into unrelated frames planned before the next registry
+        # call's ensure_runtime_conf.
+        ensure_runtime_conf(spark)

@@ -40,6 +40,22 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str = "") -> li
     if errs:
         return errs
     a, b = normalize(spark_df), normalize(duck_df)
+    # The driver's value hash is dtype-sensitive: int64 75770367473 and
+    # float64 7.577037e+10 hash differently even though the values are
+    # equal (learned r6: q_dpp_prune's oracle summed BIGINT -> HUGEINT ->
+    # pandas float64 while Spark returned int64).  Flag int-vs-float
+    # column pairs so the mismatch is caught locally, before the driver.
+    for c in a.columns:
+        ka = a[c].dtype.kind
+        kb = b[c].dtype.kind
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            errs.append(
+                f"{name}: col {c} dtype mismatch spark={a[c].dtype} "
+                f"oracle={b[c].dtype} (driver hash is dtype-sensitive; "
+                f"CAST the aggregate, not just its input, to BIGINT)"
+            )
+    if errs:
+        return errs
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):

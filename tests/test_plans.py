@@ -773,23 +773,57 @@ def test_bloom_runtime_filter_on_fact_side(spark):
     might_contain(...) probe on the fact's join key fed by a
     bloom_filter_agg over the filtered dim — rows that cannot join are
     dropped BEFORE the fact shuffle.  Also proves the conf mutation
-    cannot leak: the registry wrapper resets both knobs on the next
-    query call."""
-    from oem_gateway_spark.session import ensure_runtime_conf
-
+    cannot leak: the builder forces the optimized plan (cached on the
+    returned frame) and restores BOTH knobs before returning (ADVICE
+    r6 — previously the injection depended on nothing resetting the
+    conf between build and first action)."""
     thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    try:
-        df = REGISTRY["q_bloom_prune"].fn(spark, SF)
-        opt = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "might_contain" in opt, opt
-        assert "bloom_filter_agg" in opt, opt
-        # thresholds are aggressive while q_bloom_prune's plan is live...
-        assert spark.conf.get(thresh) == "0"
-        # ...and restored by the wrapper as soon as any other query runs.
-        REGISTRY["q1_pricing_summary"].fn(spark, SF)
-        assert spark.conf.get(thresh) == "10GB"
-        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
-    finally:
-        # don't leak the mutation into later tests if an assert fires
-        # before the wrapper-reset step above
-        ensure_runtime_conf(spark)
+    df = REGISTRY["q_bloom_prune"].fn(spark, SF)
+    # confs are already back to defaults the moment the builder returns...
+    assert spark.conf.get(thresh) == "10GB"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    # ...yet the bloom-injected plan is pinned on the frame (QueryExecution
+    # phases are cached lazy vals — later conf resets can't strip it).
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt, opt
+    assert "bloom_filter_agg" in opt, opt
+
+
+def test_ivm_delta_never_rescans_base(spark):
+    """IVM contract: the plan reads the stored MV plus the DELTA slice
+    only — the split predicate is pushed into the orders scan, so the
+    pre-split base rows (the overwhelming majority at 100 TB) never
+    leave the parquet reader; no third scan exists."""
+    df = REGISTRY["q_ivm_delta"].fn(spark, SF)
+    text = explain_str(df)
+    assert "GreaterThanOrEqual(o_orderdate" in text, text
+    # exactly two leaves: the MV store and the delta slice of orders
+    # (formatted explain lists each "Scan parquet" twice: tree + detail)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", text, re.M)) == 2, text
+    # delta agg shuffle + the two join-input exchanges at most
+    assert num_exchanges(df) <= 3, text
+
+
+def test_bitmap_distinct_mergeable_partials(spark):
+    """The first aggregation level must be a map-side-combined BIT_OR
+    (partial_bit_or) — the fixed-size mergeable-partial contract; the
+    popcount roll-up shuffles only |groups| x domain/64 word rows."""
+    df = REGISTRY["q_bitmap_distinct"].fn(spark, SF)
+    text = explain_str(df)
+    assert "partial_bit_or" in text, text
+    assert "bit_count" in text, text
+    # two levels = two exchanges, nothing else
+    assert num_exchanges(df) == 2, text
+
+
+def test_interval_union_single_key_shuffle(spark):
+    """Sweep-line plan: ONE hash exchange on the key serves both window
+    passes (same partitioning + same sort order — Catalyst must reuse
+    the sort) and the island aggregates; no global window, no second
+    shuffle of the interval rows."""
+    df = REGISTRY["q_interval_union"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 1, text
+    # both windows partition by user_id — never an empty partition spec
+    assert "windowspecdefinition(user_id" in text, text
+    assert text.count("Sort ") == 1, text
