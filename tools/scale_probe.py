@@ -82,6 +82,15 @@ PROBES = [
     "q_percentile_select",      # histogram-narrowing selection: scans x
                                 # (2 + rounds); rounds grow ~log_64(n/cap),
                                 # so near-linear with a tiny log factor
+    # round-7 additions:
+    "q_ivm_delta",              # delta agg + MV merge: cost ~ |delta|+|MV|,
+                                # both linear in the replication factor
+    "q_cdc_changelog",          # full-outer diff + posexplode: one
+                                # co-partitioned join, output ~ drift
+    "q_bitmap_distinct",        # two-level bitmap partials: shuffle rows
+                                # bounded by |groups| x domain/64 — word
+                                # count grows with the key domain, flat-ish
+    "q_interval_union",         # sweep-line windows: per-key sort, linear
 ]
 
 
