@@ -103,6 +103,10 @@ HEADLINE = [
     "q_bitmap_distinct",
     "q_interval_union",
     "stream_session_assign",
+    "d_incremental_minhash",
+    "q_schema_evolution",
+    "q_time_weighted_avg",
+    "q_variant_shred",
 ]
 
 

@@ -274,6 +274,103 @@ def minhash_lsh_pairs(
     return _own_cache(result, sig)
 
 
+def minhash_probe_pairs(
+    corpus: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    min_equal: int = 6,
+) -> DataFrame:
+    """Asymmetric incremental MinHash-LSH: probe the NEW batch's banded
+    buckets against the STORE's — never the store against itself.
+
+    ``is_new`` is a boolean Column over ``id_col`` splitting the corpus
+    into today's batch (small) and the accumulated store (huge).  Both
+    sides band identically (same bands/buckets as
+    :func:`minhash_lsh_pairs`, so recall against the store is the same
+    as the symmetric join's cross-side recall), but the join is
+    new-side-BROADCAST: the store's banded rows stream map-side past a
+    hash table of the batch's buckets — zero store shuffle, zero
+    store-store candidates.  This is the daily-crawl dedup shape: the
+    store-store pairs were already found the day each store doc arrived,
+    so recomputing them (what running the symmetric join over
+    store+batch would do) is pure waste — at 100 TB it is the
+    difference between shuffling the corpus and broadcasting the day.
+
+    Returns (new_id, store_id, n_equal_minhash) distinct, candidates
+    verified with >= ``min_equal`` equal components exactly like the
+    symmetric operator.  At larger batch sizes the same plan holds with
+    the broadcast replaced by a bucket-partitioned shuffle join against
+    a MATERIALIZED store signature table (minhash_components written
+    once, the incremental-fingerprint-store discipline of
+    exact_dedup_increment)."""
+    rows = n_hashes // n_bands
+    sig = minhash_components(corpus, id_col, text_col, n_hashes).withColumn(
+        "_new", is_new
+    )
+    # One signature build feeds both sides (persist; at 100 TB the store
+    # side reads the materialized signature table instead).
+    sig = sig.persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.col("_new"),
+        F.explode(band_structs).alias("bb"),
+        *[F.col(f"mh_{s}") for s in range(n_hashes)],
+    ).select(
+        F.col(id_col),
+        F.col("_new"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        *[F.col(f"mh_{s}") for s in range(n_hashes)],
+    )
+    new_b = bands.filter(F.col("_new")).select(
+        F.col(id_col).alias("new_id"),
+        "band",
+        "bucket",
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(n_hashes)],
+    )
+    store_b = bands.filter(~F.col("_new")).select(
+        F.col(id_col).alias("store_id"),
+        "band",
+        "bucket",
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(n_hashes)],
+    )
+    cand = store_b.join(F.broadcast(new_b), on=["band", "bucket"]).select(
+        "new_id",
+        "store_id",
+        *[F.col(f"a_{s}") for s in range(n_hashes)],
+        *[F.col(f"b_{s}") for s in range(n_hashes)],
+    ).distinct()
+    n_eq: Column = sum(
+        F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+        for s in range(n_hashes)
+    )
+    result = (
+        cand.withColumn("n_equal_minhash", n_eq.cast("int"))
+        .filter(F.col("n_equal_minhash") >= min_equal)
+        .select("new_id", "store_id", "n_equal_minhash")
+        .distinct()
+    )
+    return _own_cache(result, sig)
+
+
 def simhash64_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

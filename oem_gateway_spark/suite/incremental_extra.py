@@ -487,3 +487,269 @@ def stream_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeout_minutes=None,
     )
     return _run_to_table(out, mode="update")
+
+
+# ------------------------------------------------- wave 2: round-7 additions
+
+def _incremental_minhash_oracle(
+    n_hashes: int = 8, n_bands: int = 4, min_equal: int = 6
+) -> str:
+    from oem_gateway_spark.suite.llm import DOC_OFFSET, _minhash_oracle
+
+    rows = n_hashes // n_bands
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS bucket,"
+            f" {', '.join(f'mh_{s}' for s in range(n_hashes))} FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN n.mh_{s} = s.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(n_hashes)
+    )
+    return f"""
+    WITH sig AS ({_minhash_oracle(n_hashes)}),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id,
+             CAST({eq} AS INT) AS n_equal_minhash
+      FROM bands n JOIN bands s USING (band, bucket)
+      WHERE n.doc_id >= {DOC_OFFSET} AND s.doc_id < {DOC_OFFSET}
+    )
+    SELECT new_id, store_id, n_equal_minhash
+    FROM cand WHERE n_equal_minhash >= {min_equal}
+    """
+
+
+@query("d_incremental_minhash", oracle=_incremental_minhash_oracle())
+def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-vs-store near-dup detection: the NEW batch (the
+    corpus's constructed perturbed twins, doc_id >= DOC_OFFSET) is
+    LSH-banded and BROADCAST against the store's banded signatures —
+    an asymmetric probe join that never self-joins the store.
+
+    New plan surface: every other LSH query (d_minhash_lsh_pairs,
+    d_simhash_pairs, d_setsim_prefix_join) is a SYMMETRIC self-join —
+    right for a one-shot corpus pass, quadratic waste for the daily
+    pipeline reality where yesterday's store-store pairs are already
+    known.  Here the store side never shuffles: its banded rows stream
+    map-side past the broadcast batch buckets (plan test pins
+    BroadcastHashJoin), which at 100 TB is the difference between
+    re-shuffling the corpus every day and broadcasting the day's crawl.
+    d_exact_dedup_increment witnesses the same architecture for EXACT
+    fingerprints; this is its near-dup sibling.
+
+    Recall contract: bands/buckets are identical to the symmetric
+    operator's, so batch-vs-store recall equals the symmetric join's
+    cross-side recall (the constructed twin classes in the corpus give
+    the expected hits); candidates verify with >= 6/8 equal components
+    exactly like d_minhash_lsh_pairs."""
+    from oem_gateway_spark.operators.dedup import minhash_probe_pairs
+    from oem_gateway_spark.suite.llm import DOC_OFFSET, _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    return minhash_probe_pairs(corpus, F.col("doc_id") >= DOC_OFFSET)
+
+
+# -------------------------------------------------------- q_schema_evolution
+
+def _evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet files with DIFFERENT schemas in one directory: v1
+    (o_orderkey, cents) for keys %3 != 0, v2 adds o_orderpriority for
+    keys %3 == 0 — the lakehouse reality after a column is added
+    mid-stream.  Per-PID scratch with dead-owner GC + source
+    fingerprint, the bucketed-table discipline."""
+    import shutil
+
+    from oem_gateway_spark.streaming.rollup import _pid_alive
+    from oem_gateway_spark.suite.streaming_batch import _source_fp
+
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = "/root/repo/.scratch/evolution"
+    os.makedirs(base, exist_ok=True)
+    for entry in os.listdir(base):
+        tail = entry.rsplit("_", 1)[-1]
+        if tail.startswith("pid") and tail[3:].isdigit():
+            if not _pid_alive(int(tail[3:])):
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    path = os.path.join(
+        base, f"orders_{safe}_{_source_fp(sf_dir)}_pid{os.getpid()}"
+    )
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            _cents("o_totalprice").cast("long").alias("cents"),
+            "o_orderpriority",
+        )
+        (
+            o.filter(F.col("o_orderkey") % 3 != 0)
+            .select("o_orderkey", "cents")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "v1"))
+        )
+        (
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "v2"))
+        )
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "q_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END
+             AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one directory holds parquet files written
+    BEFORE and AFTER a column was added; ``mergeSchema`` unions the
+    footers into one schema and back-fills the missing column with
+    NULL for old files — the lakehouse column-add contract, witnessed
+    end to end (old rows land in the NULL priority group).
+
+    New engine surface: the warehouse/layout family covers partitioned,
+    bucketed, z-ordered, and hive-pruned layouts, but every one of them
+    is schema-HOMOGENEOUS; no query witnessed reading through a schema
+    change, which is how every long-lived 100 TB table actually looks
+    (per-file footer schemas negotiated at scan time — column-add needs
+    no rewrite of old data).  The oracle reproduces the synthesis from
+    the orders view (old files' rows get NULL priority), so the driver
+    hash-checks the merged read, not just its row count.
+
+    Scale note: mergeSchema=true footer-merges every file at planning
+    time — right for a witness, wrong as a steady-state default (use
+    the table catalog's committed schema at 100 TB); the cost is
+    planning-side and bounded by file count either way."""
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(
+            os.path.join(_evolution_dir(spark, sf_dir), "v1"),
+            os.path.join(_evolution_dir(spark, sf_dir), "v2"),
+        )
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+# ------------------------------------------------------- q_time_weighted_avg
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             lead(CAST(epoch_ms(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch_ms(ts) AS BIGINT), event_id) AS next_ms
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id,
+           CAST(max(ts_ms) - min(ts_ms) AS BIGINT) AS dur_ms,
+           CAST(sum(CASE WHEN next_ms IS NOT NULL
+                         THEN v_cents * (next_ms - ts_ms) END) AS BIGINT)
+             AS energy_cents_ms
+    FROM seq GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted integration of an irregularly-sampled signal: each
+    reading holds (LOCF) until the key's next reading, so the integral
+    is sum(value x holding-duration) — the energy metric (W -> Wh) the
+    reference gateway's emoncms backend derives from exactly this kind
+    of feed (SURVEY ~l.120: the gateway ships raw samples; integration
+    is the canonical downstream consumer).  Emitted as an integer
+    numerator (cents x ms) and duration so the result is exact — the
+    caller divides; an in-query division would reintroduce the
+    cross-engine float hazard the integer-cents discipline exists to
+    avoid.
+
+    New semantic surface: the timeseries family resamples
+    (q_resample_interpolate), gap-fills (q_time_series_gap_fill), and
+    carries forward (q_locf_fill) — all producing per-point values;
+    nothing integrates OVER the irregular spacing (a plain avg() is
+    wrong precisely because the spacing is irregular: a 1-hour-held
+    reading must weigh 60x a 1-minute-held one).
+
+    Shape: one key shuffle, one lead() window, one aggregate — the
+    sessionize plan family, with the window's lead feeding integer
+    products that sum order-independently."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    seq = ev.select(
+        "user_id",
+        ms.alias("ts_ms"),
+        F.floor(F.col("value") * 100 + 0.5).alias("v_cents"),
+        F.lead(ms).over(w).alias("next_ms"),
+    )
+    return seq.groupBy("user_id").agg(
+        (F.max("ts_ms") - F.min("ts_ms")).cast("long").alias("dur_ms"),
+        F.sum(
+            F.when(
+                F.col("next_ms").isNotNull(),
+                F.col("v_cents") * (F.col("next_ms") - F.col("ts_ms")),
+            )
+        ).cast("long").alias("energy_cents_ms"),
+    )
+
+
+# ---------------------------------------------------------- q_variant_shred
+
+@query(
+    "q_variant_shred",
+    oracle="""
+    WITH shred AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT CAST(k % 10 AS INT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM shred GROUP BY CAST(k % 10 AS INT)
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` parses each props payload ONCE into the binary
+    variant encoding, ``variant_get`` extracts a typed path from it —
+    the modern engine path for JSON at scale, vs the string-walking
+    ``get_json_object`` (q_json_agg) which re-parses the text per
+    access.
+
+    New engine surface: the registry's semi-structured coverage
+    (get_json_object in q_json_agg/entry, from_json->map in
+    scalar_extra) predates VARIANT; no query witnessed the variant
+    encode/extract pair that Spark 4 positions as the default for
+    open-schema event payloads (one parse, many cheap typed gets — at
+    100 TB with wide JSON and multiple extractions per row, the parse
+    amortization is the whole game; with a single key the two paths
+    tie, which is why this witnesses semantics, not speed).
+
+    The extraction is typed at the engine level (variant_get ->
+    'int'), so the oracle's CAST(json_extract_string AS INTEGER) meets
+    it in exact integer space; the aggregate is the one exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    )
+    return ev.groupBy((F.col("k") % 10).cast("int").alias("k_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )

@@ -827,3 +827,39 @@ def test_interval_union_single_key_shuffle(spark):
     # both windows partition by user_id — never an empty partition spec
     assert "windowspecdefinition(user_id" in text, text
     assert text.count("Sort ") == 1, text
+
+
+def test_incremental_minhash_broadcast_probe(spark):
+    """The crawl-vs-store probe must broadcast the NEW side: the store's
+    banded rows stream map-side past the batch's buckets — no
+    sort-merge/shuffle join of store bands, no store-store candidates
+    (asserted by construction: join output pairs new_id x store_id)."""
+    df = REGISTRY["d_incremental_minhash"].fn(spark, SF)
+    try:
+        text = explain_str(df)
+        assert "BroadcastHashJoin" in text, text
+        assert "SortMergeJoin" not in text, text
+    finally:
+        from oem_gateway_spark.operators.dedup import release_caches
+
+        release_caches(df)
+
+
+def test_schema_evolution_merged_scan(spark):
+    """mergeSchema read: ONE scan whose ReadSchema is the union of both
+    file schemas (the added column present), not a per-file union plan."""
+    df = REGISTRY["q_schema_evolution"].fn(spark, SF)
+    text = explain_str(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", text, re.M)) == 1, text
+    read_schema = text.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderpriority" in read_schema and "cents" in read_schema, text
+    assert "Union" not in text, text
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """Integration plan: one key shuffle feeding the lead() window and
+    the per-key aggregate — the sessionize family shape, no join."""
+    df = REGISTRY["q_time_weighted_avg"].fn(spark, SF)
+    text = explain_str(df)
+    assert num_exchanges(df) == 1, text
+    assert "Join" not in text, text

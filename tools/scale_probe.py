@@ -91,6 +91,10 @@ PROBES = [
                                 # bounded by |groups| x domain/64 — word
                                 # count grows with the key domain, flat-ish
     "q_interval_union",         # sweep-line windows: per-key sort, linear
+    "d_incremental_minhash",    # asymmetric LSH probe: store never
+                                # self-joins; broadcast batch side — must
+                                # stay linear in the store
+    "q_time_weighted_avg",      # lead() window + integer products: linear
 ]
 
 
