@@ -74,6 +74,14 @@ QUERIES = [
     ("q_kmv_intersect", "KMV sketch: one dedup shuffle + per-segment top-k window; pair merge on kilobyte arrays"),
     ("q_dpp_prune", "dynamic partition pruning: runtime dim values injected into the fact scan's PartitionFilters"),
     ("q_bloom_prune", "runtime bloom-filter join pruning: might_contain(xxhash64(key)) drops fact rows before the shuffle"),
+    ("q_ivm_delta", "IVM merge: kilobyte MV scan + pushed-down delta slice; base never re-read"),
+    ("q_cdc_changelog", "CDC derive: one full-outer diff; unchanged rows filtered before posexplode expansion"),
+    ("q_bitmap_distinct", "exact distinct: map-side partial_bit_or word partials; popcount roll-up"),
+    ("q_interval_union", "sweep-line: one key exchange serves both window passes + island aggs"),
+    ("d_incremental_minhash", "crawl-vs-store LSH: batch bands broadcast; store streams map-side"),
+    ("q_schema_evolution", "mergeSchema: ONE scan, union footer schema, NULL backfill"),
+    ("q_time_weighted_avg", "LOCF integral: one key shuffle, lead window, integer products"),
+    ("q_variant_shred", "VARIANT: parse_json once, typed variant_get, one agg exchange"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
