@@ -37,6 +37,45 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def reap_dead_owner_dirs(base: str) -> None:
+    """GC a per-process scratch base: remove sibling dirs whose owner PID
+    (the trailing ``_pid<N>`` segment) is dead, and pre-PID legacy dirs
+    older than 24h.  The 'pid' prefix keeps the owner segment
+    unambiguous — legacy names end in SF digits a bare rsplit would
+    misparse as PID 1, always alive, never reaped (code-review r5).
+
+    Shared by every per-process scratch store (bucketed tables, dpp
+    layout, MV/evolution stores): the copies had already diverged once
+    (code-review r7), and this logic is the concurrency seam parallel
+    pytest sessions depend on — one implementation or none."""
+    import shutil
+    import time
+
+    os.makedirs(base, exist_ok=True)
+    for entry in os.listdir(base):
+        path = os.path.join(base, entry)
+        tail = entry.rsplit("_", 1)[-1]
+        if tail.startswith("pid") and tail[3:].isdigit():
+            if not _pid_alive(int(tail[3:])):
+                shutil.rmtree(path, ignore_errors=True)
+        else:
+            # Pre-PID naming: only pre-PID code (a full round gone) could
+            # reference these; the 24h mtime gate is margin, not
+            # correctness.  PID reuse pinning a dead owner's dir is
+            # accepted (bounded: one dir).
+            try:
+                if os.path.getmtime(path) < time.time() - 24 * 3600:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+
+
+def pid_scoped_dir(base: str, stem: str) -> str:
+    """``<base>/<stem>_pid<os.getpid()>`` after reaping dead owners."""
+    reap_dead_owner_dirs(base)
+    return os.path.join(base, f"{stem}_pid{os.getpid()}")
+
+
 class IncrementalRollup:
     """foreachBatch maintainer of a (node, win_start) rollup table.
 

@@ -114,41 +114,17 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mismatch under parallel pytest runs); dead-owner dirs are
     reaped by PID liveness, same discipline as the rollup-store GC."""
     import os
-    import shutil
 
-    from oem_gateway_spark.streaming.rollup import _pid_alive
+    from oem_gateway_spark.streaming.rollup import reap_dead_owner_dirs
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     pid = os.getpid()
-    # 'pid' prefix makes the owner segment unambiguous: legacy dirs end
-    # in SF digits ('..._sf0_001') which a bare rsplit would misparse as
-    # PID 1 (always alive -> never reaped; code-review r5).
+    # Naming and GC via the shared per-process scratch discipline
+    # (streaming/rollup.py::reap_dead_owner_dirs — the four hand-rolled
+    # copies had started to diverge; code-review r7).
     li_t, o_t = f"bkt_lineitem_{safe}_pid{pid}", f"bkt_orders_{safe}_pid{pid}"
     base = "/root/repo/.scratch/bucketed"
-    os.makedirs(base, exist_ok=True)
-    for entry in os.listdir(base):
-        tail = entry.rsplit("_", 1)[-1]
-        if tail.startswith("pid") and tail[3:].isdigit():
-            if not _pid_alive(int(tail[3:])):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-        else:
-            # pre-PID naming: only sessions running pre-PID code could
-            # reference these, and that code is a full round gone — no
-            # live process can hold one, so these are crashed-session
-            # leftovers.  The mtime gate is margin, not correctness (an
-            # r6 review noted a >1h-lived pre-PID session WOULD still be
-            # vulnerable — none can exist anymore); 24h keeps the reap
-            # conservative.  PID reuse by an unrelated long-lived
-            # process can pin a dead owner's dir; accepted (bounded:
-            # one dir).
-            import time
-
-            path = os.path.join(base, entry)
-            try:
-                if os.path.getmtime(path) < time.time() - 24 * 3600:
-                    shutil.rmtree(path, ignore_errors=True)
-            except OSError:
-                pass
+    reap_dead_owner_dirs(base)
     if not spark.catalog.tableExists(li_t):
         (
             load_table(spark, sf_dir, "lineitem")

@@ -78,25 +78,17 @@ def _cents(col: str) -> F.Column:
 def _ivm_store_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir + source fingerprint + pid) the stored MV:
     per (o_orderpriority, month) counts and revenue cents over the
-    pre-split base.  Per-PID path with dead-owner GC — parallel pytest
-    sessions must not race on a shared store (driver-contract gotcha);
-    the source fingerprint invalidates replicas if testdata regenerates
-    (the r3 TIMESTAMP_NTZ incident)."""
-    import shutil
-
-    from oem_gateway_spark.streaming.rollup import _pid_alive
+    pre-split base.  Per-PID path with dead-owner GC (shared helper —
+    parallel pytest sessions must not race on a shared store); the
+    ORDERS fingerprint invalidates replicas if the actual source table
+    regenerates (the r3 TIMESTAMP_NTZ incident; code-review r7 caught
+    this keyed to events)."""
+    from oem_gateway_spark.streaming.rollup import pid_scoped_dir
     from oem_gateway_spark.suite.streaming_batch import _source_fp
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = "/root/repo/.scratch/ivm"
-    os.makedirs(base, exist_ok=True)
-    for entry in os.listdir(base):
-        tail = entry.rsplit("_", 1)[-1]
-        if tail.startswith("pid") and tail[3:].isdigit():
-            if not _pid_alive(int(tail[3:])):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    fp = _source_fp(sf_dir)
-    path = os.path.join(base, f"mv_{safe}_{fp}_pid{os.getpid()}")
+    fp = _source_fp(sf_dir, table="orders")
+    path = pid_scoped_dir("/root/repo/.scratch/ivm", f"mv_{safe}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "orders")
@@ -561,23 +553,15 @@ def _evolution_dir(spark: SparkSession, sf_dir: str) -> str:
     """Two parquet files with DIFFERENT schemas in one directory: v1
     (o_orderkey, cents) for keys %3 != 0, v2 adds o_orderpriority for
     keys %3 == 0 — the lakehouse reality after a column is added
-    mid-stream.  Per-PID scratch with dead-owner GC + source
-    fingerprint, the bucketed-table discipline."""
-    import shutil
-
-    from oem_gateway_spark.streaming.rollup import _pid_alive
+    mid-stream.  Per-PID scratch with dead-owner GC (shared helper) +
+    ORDERS source fingerprint, the bucketed-table discipline."""
+    from oem_gateway_spark.streaming.rollup import pid_scoped_dir
     from oem_gateway_spark.suite.streaming_batch import _source_fp
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = "/root/repo/.scratch/evolution"
-    os.makedirs(base, exist_ok=True)
-    for entry in os.listdir(base):
-        tail = entry.rsplit("_", 1)[-1]
-        if tail.startswith("pid") and tail[3:].isdigit():
-            if not _pid_alive(int(tail[3:])):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    path = os.path.join(
-        base, f"orders_{safe}_{_source_fp(sf_dir)}_pid{os.getpid()}"
+    fp = _source_fp(sf_dir, table="orders")
+    path = pid_scoped_dir(
+        "/root/repo/.scratch/evolution", f"orders_{safe}_{fp}"
     )
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
@@ -632,12 +616,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — right for a witness, wrong as a steady-state default (use
     the table catalog's committed schema at 100 TB); the cost is
     planning-side and bounded by file count either way."""
+    d = _evolution_dir(spark, sf_dir)
     merged = (
         spark.read.option("mergeSchema", "true")
-        .parquet(
-            os.path.join(_evolution_dir(spark, sf_dir), "v1"),
-            os.path.join(_evolution_dir(spark, sf_dir), "v2"),
-        )
+        .parquet(os.path.join(d, "v1"), os.path.join(d, "v2"))
     )
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),

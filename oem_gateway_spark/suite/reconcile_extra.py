@@ -499,19 +499,16 @@ def _dpp_orders_path(spark: SparkSession, sf_dir: str) -> str:
     Written once per process; dead-owner dirs reaped by PID liveness
     (the bucketed-table discipline, cleaning_extra.py)."""
     import os
-    import shutil
 
-    from oem_gateway_spark.streaming.rollup import _pid_alive
+    from oem_gateway_spark.streaming.rollup import pid_scoped_dir
+    from oem_gateway_spark.suite.streaming_batch import _source_fp
 
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = "/root/repo/.scratch/dpp"
-    os.makedirs(base, exist_ok=True)
-    for entry in os.listdir(base):
-        tail = entry.rsplit("_", 1)[-1]
-        if tail.startswith("pid") and tail[3:].isdigit():
-            if not _pid_alive(int(tail[3:])):
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    path = os.path.join(base, f"orders_{safe}_pid{os.getpid()}")
+    # Orders fingerprint added r7 (the shared-helper migration): without
+    # it a testdata regeneration would leave this partitioned replica
+    # stale while the oracle reads the fresh file.
+    fp = _source_fp(sf_dir, table="orders")
+    path = pid_scoped_dir("/root/repo/.scratch/dpp", f"orders_{safe}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "orders").write.mode(
             "overwrite"
@@ -615,8 +612,6 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries.  A bloom filter has no false negatives, so results are
     identical to the plain join (the oracle); the plan test pins
     might_contain + bloom_filter_agg in the optimized plan."""
-    from oem_gateway_spark.session import ensure_runtime_conf
-
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter."
         "applicationSideScanSizeThreshold",
@@ -625,32 +620,35 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
-    try:
-        out = (
-            li.join(pt, li.l_partkey == pt.p_partkey)
-            .groupBy("p_brand")
-            .agg(
-                F.count("*").alias("n_items"),
-                F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
-            )
+    out = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
-        # The frame is lazy but the conf mutation is immediate, so without
-        # this the injection would depend on nothing resetting the conf
-        # between build and first action (ADVICE r6: ensure_runtime_conf on
-        # the NEXT registry build would silently strip it).  Forcing the
-        # optimized plan here pins it: QueryExecution's phases are cached
-        # lazy vals on the returned DataFrame, so the bloom-injected plan
-        # survives any later conf reset — and we verify the injection
-        # actually happened rather than hoping.
-        optimized = out._jdf.queryExecution().optimizedPlan().toString()
-        if "might_contain" not in optimized:
-            raise RuntimeError(
-                "q_bloom_prune: InjectRuntimeFilter did not fire — "
-                "bloom-filter conf was reset between build and plan time?"
-            )
-        return out
-    finally:
-        # Restore defaults immediately: autoBroadcastJoinThreshold=-1 must
-        # not leak into unrelated frames planned before the next registry
-        # call's ensure_runtime_conf.
-        ensure_runtime_conf(spark)
+    )
+    # Verify eagerly that InjectRuntimeFilter actually fired (the frame is
+    # lazy; a conf race would otherwise surface as a silent plan change,
+    # not an error).  The optimized plan is a cached lazy val, so this
+    # forces it exactly once.
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    if "might_contain" not in optimized:
+        raise RuntimeError(
+            "q_bloom_prune: InjectRuntimeFilter did not fire — "
+            "bloom-filter conf was reset between build and plan time?"
+        )
+    # The confs deliberately stay mutated until the next registry build
+    # (the wrapper's ensure_runtime_conf resets them): PHYSICAL planning
+    # and AQE's runtime re-optimization read the session conf at ACTION
+    # time, so restoring here would let the small dim broadcast and the
+    # executed plan would be a BroadcastHashJoin with the bloom probe as
+    # pure overhead — the witness this query exists for (shuffle join
+    # whose fact rows are bloom-pruned BEFORE the exchange) would
+    # silently stop executing (caught by an r7 code review after an
+    # eager-restore attempt).  Call sites must therefore execute this
+    # frame BEFORE building any other registry query — bench.py and the
+    # driver both do (build -> action -> next query).  The leak is
+    # bounded to that one gap; test_plans pins both the conf lifecycle
+    # and the SortMergeJoin in the executed plan.
+    return out

@@ -52,13 +52,17 @@ SESSION_ORACLE = """
 """
 
 
-def _source_fp(sf_dir: str) -> str:
-    """Fingerprint of the events source file (mtime + size), embedded in
+def _source_fp(sf_dir: str, table: str = "events") -> str:
+    """Fingerprint of a source table file (mtime + size), embedded in
     every MATERIALIZED scratch-dir name so a driver-side testdata
     regeneration (the r3 TIMESTAMP_NTZ incident) invalidates stale
     replicas instead of silently replaying old data.  Plain symlink dirs
-    track the source automatically and don't need it."""
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    track the source automatically and don't need it.  Pass the table
+    the replica is DERIVED from — fingerprinting a different table's
+    file leaves stale replicas live when only the source regenerates
+    (code-review r7: the MV/evolution stores derive from orders but
+    fingerprinted events)."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     return f"{int(st.st_mtime)}-{st.st_size}"
 
 

@@ -772,21 +772,37 @@ def test_bloom_runtime_filter_on_fact_side(spark):
     """InjectRuntimeFilter must fire: the optimized plan carries a
     might_contain(...) probe on the fact's join key fed by a
     bloom_filter_agg over the filtered dim — rows that cannot join are
-    dropped BEFORE the fact shuffle.  Also proves the conf mutation
-    cannot leak: the builder forces the optimized plan (cached on the
-    returned frame) and restores BOTH knobs before returning (ADVICE
-    r6 — previously the injection depended on nothing resetting the
-    conf between build and first action)."""
+    dropped BEFORE the fact shuffle.  The confs must stay mutated until
+    the next registry build (wrapper reset): physical planning and AQE
+    re-optimization read conf at ACTION time, so an eager restore would
+    execute this as a BroadcastHashJoin with the bloom probe as pure
+    overhead — the r7 code-review regression this test now pins against:
+    the EXECUTED plan must be the shuffle join."""
+    from oem_gateway_spark.session import ensure_runtime_conf
+
     thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    df = REGISTRY["q_bloom_prune"].fn(spark, SF)
-    # confs are already back to defaults the moment the builder returns...
-    assert spark.conf.get(thresh) == "10GB"
-    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
-    # ...yet the bloom-injected plan is pinned on the frame (QueryExecution
-    # phases are cached lazy vals — later conf resets can't strip it).
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "might_contain" in opt, opt
-    assert "bloom_filter_agg" in opt, opt
+    try:
+        df = REGISTRY["q_bloom_prune"].fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        # thresholds stay aggressive while the frame is un-executed...
+        assert spark.conf.get(thresh) == "0"
+        # ...so the PHYSICAL plan is the shuffle join the witness needs
+        # (an eager conf restore would broadcast the small dim instead)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in executed, executed
+        assert (
+            "SortMergeJoin" in executed or "ShuffledHashJoin" in executed
+        ), executed
+        # ...and restored by the wrapper as soon as any other query runs.
+        REGISTRY["q1_pricing_summary"].fn(spark, SF)
+        assert spark.conf.get(thresh) == "10GB"
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    finally:
+        # don't leak the mutation into later tests if an assert fires
+        # before the wrapper-reset step above
+        ensure_runtime_conf(spark)
 
 
 def test_ivm_delta_never_rescans_base(spark):
