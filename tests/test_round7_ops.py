@@ -104,3 +104,31 @@ def test_oracle_harness_flags_int_float_dtype_mismatch():
     assert errs and "dtype mismatch" in errs[0]
     # equal dtypes with equal values still pass
     assert compare(a, a.copy(), "same") == []
+
+
+def test_reap_dead_owner_dirs(tmp_path):
+    """The shared scratch GC: dead-PID dirs reaped, live-PID and young
+    legacy dirs kept, stale legacy dirs reaped — and the returned path
+    is scoped to this process."""
+    import os
+    import time
+
+    from oem_gateway_spark.streaming.rollup import pid_scoped_dir
+
+    base = str(tmp_path / "scratch")
+    live = os.path.join(base, f"x_sf0_001_pid{os.getpid()}")
+    dead = os.path.join(base, "x_sf0_001_pid999999999")
+    legacy_young = os.path.join(base, "x_sf0_001")  # SF digits, no pid
+    legacy_old = os.path.join(base, "y_sf0_01")
+    for d in (live, dead, legacy_young, legacy_old):
+        os.makedirs(d)
+    old = time.time() - 25 * 3600
+    os.utime(legacy_old, (old, old))
+
+    got = pid_scoped_dir(base, "new_store")
+    assert got == os.path.join(base, f"new_store_pid{os.getpid()}")
+    assert os.path.exists(live)            # owner alive
+    assert not os.path.exists(dead)        # owner dead -> reaped
+    # legacy names must never parse their SF digits as a PID
+    assert os.path.exists(legacy_young)    # younger than 24h -> kept
+    assert not os.path.exists(legacy_old)  # stale crash leftover -> reaped
