@@ -132,3 +132,78 @@ def test_reap_dead_owner_dirs(tmp_path):
     # legacy names must never parse their SF digits as a PID
     assert os.path.exists(legacy_young)    # younger than 24h -> kept
     assert not os.path.exists(legacy_old)  # stale crash leftover -> reaped
+
+
+def test_interval_union_matches_brute_force(spark):
+    """Triangulate q_interval_union with a BRUTE-FORCE merge: the oracle
+    and the Spark plan share the gaps-and-islands formulation, so a
+    shared blind spot there would pass the driver; this check merges
+    the same intervals with the textbook sort-and-sweep in plain
+    Python."""
+    import duckdb
+
+    from oem_gateway_spark.suite.incremental_extra import (
+        _IU_SLICE,
+        _IU_UNIT_MS,
+    )
+    from oem_gateway_spark.suite.registry import REGISTRY
+
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_ms"])
+        for r in REGISTRY["q_interval_union"].fn(spark, SF).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS s,
+                   CAST(epoch_ms(ts) AS BIGINT)
+                     + (event_id % 7 + 1) * {_IU_UNIT_MS} AS e
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE user_id % {_IU_SLICE} = 0"""
+    ).fetchall()
+    per: dict[int, list[tuple[int, int]]] = {}
+    for u, s, e in rows:
+        per.setdefault(u, []).append((s, e))
+    for u, iv in per.items():
+        merged: list[list[int]] = []
+        for s, e in sorted(iv):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect = (len(merged), sum(e - s for s, e in merged))
+        assert got[u] == expect, (u, got[u], expect)
+    assert set(got) == set(per)
+
+
+def test_session_assign_matches_brute_force(spark):
+    """Same triangulation for the streaming session assignment: replay
+    the slice's events per user in plain Python with the 6h-gap rule
+    and compare every event's assigned session start."""
+    import duckdb
+
+    from oem_gateway_spark.suite.incremental_extra import _SESSION_GAP_MS
+    from oem_gateway_spark.suite.registry import REGISTRY
+
+    got = {
+        (r["node"], r["event_id"]): r["session_start_ms"]
+        for r in REGISTRY["stream_session_assign"].fn(spark, SF).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE user_id % 50 = 0
+            ORDER BY user_id, ts_ms, event_id"""
+    ).fetchall()
+    last: dict[int, int] = {}
+    start: dict[int, int] = {}
+    n = 0
+    for u, eid, ts in rows:
+        if u not in last or ts - last[u] > _SESSION_GAP_MS:
+            start[u] = ts
+        last[u] = ts
+        assert got[(u, eid)] == start[u], (u, eid, got[(u, eid)], start[u])
+        n += 1
+    assert n == len(got)
