@@ -81,6 +81,34 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _fast_tmp_base() -> str | None:
+    """tmpfs scratch base for LOCAL-mode JVM temp dirs, or None.
+
+    Structured Streaming's TEMP checkpoints (memory-sink twins, tests)
+    and shuffle/spill scratch default to java.io.tmpdir / spark.local.dir
+    on disk; on this multi-tenant host their fsync latency is the
+    measured canary that inflates every streaming wall under ambient
+    I/O storms (SCALE.md protocol; r7 measured stream_session_assign
+    9.6 -> 4.5 s and stream_stream_left_join 14.2 -> 9.4 s by moving
+    them to /dev/shm).  Local mode only — durable checkpoints (the
+    pipeline's explicit checkpointLocation paths) are untouched, and a
+    real cluster puts checkpoints on HDFS/S3, not here.  Requires
+    >= 8 GiB free so shuffle spill cannot exhaust RAM at test scale;
+    disable with SPARK_GRAFT_FAST_TMP=0.  Crash leftovers are
+    RAM-bounded tmpfs (normal exits clean via Spark's shutdown hooks)."""
+    if os.environ.get("SPARK_GRAFT_FAST_TMP", "1") == "0":
+        return None
+    base = "/dev/shm/spark-graft-tmp"
+    try:
+        os.makedirs(base, exist_ok=True)
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize >= 8 << 30:
+            return base
+    except OSError:
+        return None
+    return None
+
+
 def get_spark(
     app_name: str = "oem-gateway-spark",
     master: str | None = None,
@@ -96,6 +124,16 @@ def get_spark(
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
+    fast = _fast_tmp_base() if master.startswith("local") else None
+    if fast:
+        # Static confs: only effective for a NEW JVM (getOrCreate on an
+        # existing session silently keeps its values — correct either way).
+        conf.setdefault("spark.local.dir", os.path.join(fast, "local"))
+        ejo = conf.get("spark.driver.extraJavaOptions", "")
+        if "java.io.tmpdir" not in ejo:
+            conf["spark.driver.extraJavaOptions"] = (
+                f"{ejo} -Djava.io.tmpdir={fast}".strip()
+            )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
