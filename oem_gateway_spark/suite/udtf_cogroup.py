@@ -33,6 +33,15 @@ def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged per key in one pandas function (the two-sided escape hatch —
     both sides shuffle once on the key; per-key memory bounded)."""
 
+    # Project BEFORE the cogroup: column pruning does not cross
+    # applyInPandas (the UDF is a black box to Catalyst), so without
+    # this every column of both tables — including the wide props JSON
+    # string — rides the Arrow transfer the merge never reads.  At
+    # 100 TB this is the difference between shipping the key+metric
+    # columns and shipping the table.  (Local sf0.1 walls are dominated
+    # by per-group Python invocation — 1500 tiny groups — so the win
+    # here is transfer bytes, not wall; both matter at scale.)
+
     def merge(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         key = (
             events["user_id"].iloc[0]
@@ -51,8 +60,10 @@ def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
     merged = (
         ev.groupBy("user_id")
         .cogroup(orders.groupBy("o_custkey"))
