@@ -622,16 +622,18 @@ def session_assign_stream(
     exceeds ``gap_ms``), with the open session carried across
     micro-batch boundaries.
 
-    New state shape for the stream-batch-unification family: a MERGING
+    New state shape for the CUSTOM-state twin family: a MERGING
     INTERVAL — (last_ts_ms, session_start_ms) — where the existing
-    stateful twins carry a scalar recurrence (ewma_stream), a scalar
-    carry (locf_fill), a bounded ordered collection
-    (topk_admission_stream), or per-key counters (node_running_stats).
-    This is the state that powers engine-managed session_window
-    aggregation; assigning (rather than aggregating) keeps the output
-    per-event, so the streaming answer equals the batch
-    gaps-and-islands twin ROW FOR ROW with pure integer-ms arithmetic —
-    an exact shared oracle, no tolerance.
+    applyInPandasWithState twins carry a scalar recurrence
+    (ewma_stream), a scalar carry (locf_fill), a bounded ordered
+    collection (topk_admission_stream), or per-key counters
+    (node_running_stats).  The ENGINE-MANAGED session_window
+    aggregation is witnessed separately (suite stream_session); this
+    hand-holds the same merging semantics and ASSIGNS rather than
+    aggregates — per-event output (the form that labels events for
+    joining back, which no built-in session operator emits), equal to
+    the batch gaps-and-islands twin ROW FOR ROW with pure integer-ms
+    arithmetic — an exact shared oracle, no tolerance.
 
     State is O(1) per key (two longs); ``timeout_minutes=None`` for
     bounded availableNow replays (see node_running_stats).

@@ -36,10 +36,13 @@ every new query must name the shape it adds):
   intervals but never unions them.
 - ``stream_session_assign`` (suite twin of
   streaming/state.py::session_assign_stream): streaming session
-  assignment with MERGING-INTERVAL state, the one state shape the
-  stateful-twin family lacked (scalars, dicts, bounded lists are
-  covered).  Exact integer-ms arithmetic, shared gaps-and-islands SQL
-  oracle, same 4-ordered-micro-batch replay as stream_ewma.
+  ASSIGNMENT with MERGING-INTERVAL state — the state shape the
+  custom-state twin family lacked (scalars, dicts, bounded lists are
+  covered; the engine-managed session_window AGGREGATION is witnessed
+  separately by stream_session).  Per-event output labels events for
+  joining back, which no built-in session operator emits.  Exact
+  integer-ms arithmetic, shared gaps-and-islands SQL oracle, same
+  4-ordered-micro-batch replay as stream_ewma.
 
 Reference parity: the reference gateway (SURVEY.md ~l.120) has no
 analytics engine; these extend the §2.6 engine surface for the
@@ -456,10 +459,14 @@ def stream_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (applyInPandasWithState): the telemetry replays as FOUR
     time-ordered micro-batches and every event is labeled with its
     6h-gap session's start timestamp, the open session carried across
-    batch boundaries as MERGING-INTERVAL state — the state shape behind
-    engine-managed session windows, and the one the stateful-twin
-    family (scalar ewma/locf, dict counters, bounded top-k list)
-    didn't witness.
+    batch boundaries as MERGING-INTERVAL state — the state shape the
+    CUSTOM-state twin family (scalar ewma/locf, dict counters, bounded
+    top-k list) didn't carry.  Distinct from ``stream_session``, which
+    witnesses the ENGINE-MANAGED session_window aggregation (session
+    counts in complete mode): this is the same merging semantics
+    hand-held in applyInPandasWithState with per-event ASSIGNMENT
+    output — the form that labels events for joining back, which no
+    built-in session operator emits.
 
     The batch twin is gaps-and-islands (boundary = session-opening
     event's ms; running MAX(boundary) = the session start every later
