@@ -33,14 +33,22 @@ def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged per key in one pandas function (the two-sided escape hatch —
     both sides shuffle once on the key; per-key memory bounded)."""
 
-    # Project BEFORE the cogroup: column pruning does not cross
-    # applyInPandas (the UDF is a black box to Catalyst), so without
-    # this every column of both tables — including the wide props JSON
-    # string — rides the Arrow transfer the merge never reads.  At
-    # 100 TB this is the difference between shipping the key+metric
-    # columns and shipping the table.  (Local sf0.1 walls are dominated
-    # by per-group Python invocation — 1500 tiny groups — so the win
-    # here is transfer bytes, not wall; both matter at scale.)
+    # Two levers, both measured at sf0.1:
+    # 1. Project BEFORE the cogroup — column pruning does not cross
+    #    applyInPandas (the UDF is a black box to Catalyst), so without
+    #    this every column of both tables (incl. the wide props JSON)
+    #    rides the Arrow transfer the merge never reads.
+    # 2. Pin the partition count with an explicit keyed repartition —
+    #    the wall here is per-group PYTHON INVOCATION (1500 tiny
+    #    groups), and after pruning the shuffle is so small that AQE
+    #    coalesced it to 3 partitions, serializing the group calls
+    #    (pruning ALONE measured SLOWER than no pruning: 16 s vs 11 s).
+    #    A user-specified repartition is exempt from AQE coalescing and
+    #    cogroup reuses its hash partitioning, so no extra exchange.
+    # Together: 11 s -> 2.8 s.  The general lesson for Pandas-UDF
+    # group ops: when per-group overhead dominates, partition count is
+    # the throughput knob, and byte-based AQE coalescing optimizes the
+    # wrong currency.
 
     def merge(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         key = (
@@ -60,9 +68,16 @@ def u_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice"
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .repartition(par, "user_id")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .repartition(par, "o_custkey")
     )
     merged = (
         ev.groupBy("user_id")
