@@ -128,7 +128,17 @@ def u_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["dev_scaled"] = pdf["value"] * len(pdf) - pdf["value"].sum()
         return out
 
-    ev = load_table(spark, sf_dir, "events")
+    # Same two levers as u_cogroup (r7): project the columns the pandas
+    # fn reads (pruning doesn't cross the UDF boundary) and pin the
+    # partition count — per-group Python invocation is the wall, and
+    # AQE's byte-based coalescing otherwise folds the pruned shuffle to
+    # ~3 partitions, serializing the group calls.
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .repartition(par, "user_id")
+    )
     centered = ev.groupBy("user_id").applyInPandas(
         center, "event_id long, user_id long, dev_scaled double"
     )
