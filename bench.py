@@ -107,6 +107,7 @@ HEADLINE = [
     "q_schema_evolution",
     "q_time_weighted_avg",
     "q_variant_shred",
+    "q_cbo_join_reorder",
 ]
 
 

@@ -38,6 +38,12 @@ DEFAULT_CONF: dict[str, str] = {
     # at 100 TB the 10GB default triggers on any real fact scan.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+    # CBO off (Spark default); listed so ensure_runtime_conf RESETS both
+    # after q_cbo_join_reorder enables them to witness stats-driven join
+    # reordering — same leak-until-next-build discipline as the bloom
+    # threshold above.
+    "spark.sql.cbo.enabled": "false",
+    "spark.sql.cbo.joinReorder.enabled": "false",
     # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no nanos
     # type — read as long and let the catalog convert to a µs timestamp
     # (values are exact µs, verified; DuckDB agrees bit-for-bit).
@@ -68,6 +74,8 @@ RUNTIME_CONF_KEYS: tuple[str, ...] = (
     "spark.sql.parquet.filterPushdown",
     "spark.sql.optimizer.runtime.bloomFilter.enabled",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    "spark.sql.cbo.enabled",
+    "spark.sql.cbo.joinReorder.enabled",
 )
 
 

@@ -879,3 +879,24 @@ def test_time_weighted_avg_single_shuffle(spark):
     text = explain_str(df)
     assert num_exchanges(df) == 1, text
     assert "Join" not in text, text
+
+
+def test_cbo_join_reorder_fires(spark):
+    """Stats-driven join reordering: the SQL text joins the facts first,
+    but with ANALYZEd tables + CBO the optimized tree joins the
+    filtered dim below the fact — and both cbo confs reset on the next
+    registry build (same lifecycle as the bloom knobs)."""
+    from oem_gateway_spark.session import ensure_runtime_conf
+    from oem_gateway_spark.suite.reconcile_extra import _cbo_tables
+
+    try:
+        df = REGISTRY["q_cbo_join_reorder"].fn(spark, SF)
+        names = _cbo_tables(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.index(names["customer"]) < opt.index(names["lineitem"]), opt
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+        REGISTRY["q1_pricing_summary"].fn(spark, SF)
+        assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+        assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "false"
+    finally:
+        ensure_runtime_conf(spark)
