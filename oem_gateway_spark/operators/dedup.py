@@ -282,6 +282,7 @@ def minhash_probe_pairs(
     n_hashes: int = 8,
     n_bands: int = 4,
     min_equal: int = 6,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Asymmetric incremental MinHash-LSH: probe the NEW batch's banded
     buckets against the STORE's — never the store against itself.
@@ -301,11 +302,16 @@ def minhash_probe_pairs(
 
     Returns (new_id, store_id, n_equal_minhash) distinct, candidates
     verified with >= ``min_equal`` equal components exactly like the
-    symmetric operator.  At larger batch sizes the same plan holds with
-    the broadcast replaced by a bucket-partitioned shuffle join against
-    a MATERIALIZED store signature table (minhash_components written
-    once, the incremental-fingerprint-store discipline of
-    exact_dedup_increment)."""
+    symmetric operator.  The broadcast is GUARDED (r7 ADVICE): if the
+    new side holds more than ``max_broadcast_rows`` docs (counted on the
+    persisted signature build, so the check costs no extra scan of the
+    corpus), the join falls back to a plain bucket-keyed shuffle join —
+    a caller passing a large ``is_new`` slice gets the documented
+    fallback instead of a driver/executor OOM.  At larger batch sizes
+    the same plan holds with the store side reading a MATERIALIZED
+    signature table (minhash_components written once, the
+    incremental-fingerprint-store discipline of exact_dedup_increment).
+    """
     rows = n_hashes // n_bands
     sig = minhash_components(corpus, id_col, text_col, n_hashes).withColumn(
         "_new", is_new
@@ -352,7 +358,14 @@ def minhash_probe_pairs(
         "bucket",
         *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(n_hashes)],
     )
-    cand = store_b.join(F.broadcast(new_b), on=["band", "bucket"]).select(
+    # Broadcast guard: the count runs on the persisted signature frame
+    # (docs, not tokens — one cached-scan aggregate).  n_bands banded rows
+    # per doc is still kilobytes/doc, so the row count is the right proxy.
+    new_docs = sig.filter(F.col("_new")).count()
+    probe_side = (
+        F.broadcast(new_b) if new_docs <= max_broadcast_rows else new_b
+    )
+    cand = store_b.join(probe_side, on=["band", "bucket"]).select(
         "new_id",
         "store_id",
         *[F.col(f"a_{s}") for s in range(n_hashes)],

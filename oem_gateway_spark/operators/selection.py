@@ -71,6 +71,7 @@ def exact_order_statistics(
     n_buckets: int = 64,
     collect_cap: int = 8192,
     max_iters: int = 64,
+    final_collect_multiplier: int = 4,
 ) -> list[tuple[float, int, float]]:
     """Return [(q, k, value)] where value is the exact k-th smallest of
     ``df[col]`` (k = ceil(q * n), 1-based), computed without any sort.
@@ -103,6 +104,48 @@ def exact_order_statistics(
         if t.lo == t.hi:
             t.answer = t.lo
 
+    def _narrow(buckets: int) -> None:
+        _narrow_targets(vals, targets, buckets, collect_cap, max_iters)
+
+    _narrow(n_buckets)
+
+    # Final scan: collect the survivors' (small) intervals in one pass.
+    # If the bounded collect overflows (max_iters exhausted with a wide
+    # residual interval), retry with progressively finer histograms — the
+    # previously-correct-if-slow case keeps its answer instead of dying
+    # (r7 ADVICE): a target that exited via cnt <= collect_cap cannot
+    # overflow its share of the cap, so overflow always means a target
+    # that can still narrow.
+    for _attempt in range(3):
+        pending = [(i, t) for i, t in enumerate(targets) if t.answer is None]
+        if not pending:
+            break
+        hard_cap = (
+            max(collect_cap, 1) * max(len(pending), 1) * max(final_collect_multiplier, 1)
+        )
+        rows = _final_collect(vals, pending, hard_cap)
+        if rows is not None:
+            _resolve_pending(pending, rows)
+            break
+        _narrow(n_buckets * 8 ** (_attempt + 1))
+    else:
+        raise RuntimeError(
+            "exact_order_statistics: final collect exceeded its cap after "
+            "retries with finer histograms — raise final_collect_multiplier, "
+            "collect_cap, or max_iters"
+        )
+
+    return [(t.q, t.k, float(t.answer)) for t in targets]
+
+
+def _narrow_targets(
+    vals: DataFrame,
+    targets: list[_Target],
+    n_buckets: int,
+    collect_cap: int,
+    max_iters: int,
+) -> None:
+    """Iterative histogram narrowing (the main loop of the module doc)."""
     for _ in range(max_iters):
         live = [
             (i, t)
@@ -165,51 +208,53 @@ def exact_order_statistics(
             else:  # pragma: no cover — counts changed under us
                 raise RuntimeError("histogram lost the target rank")
 
-    # Final scan: collect the survivors' (small) intervals in one pass.
-    pending = [(i, t) for i, t in enumerate(targets) if t.answer is None]
-    if pending:
-        structs = [
-            F.when(
-                (F.col("x") >= F.lit(t.lo)) & (F.col("x") <= F.lit(t.hi)),
-                F.lit(rid),
-            ).otherwise(F.lit(-1))
-            for rid, t in pending
-        ]
-        # Collect DISTINCT values with counts, not raw rows: targets that
-        # exited via cnt <= collect_cap transfer at most cnt rows either
-        # way, but width-guard / max_iters fall-throughs can still hold
-        # huge intervals — on the pathological near-identical-value data
-        # that triggers them, those are FEW distinct doubles repeated many
-        # times, so grouping by value keeps the driver transfer bounded
-        # where a raw collect would be driver-OOM-scale.  The hard cap
-        # turns the residual adversarial case (many distinct values AND
-        # no convergence) into a loud error instead of a silent OOM.
-        hard_cap = max(collect_cap, 1) * max(len(pending), 1) * 4
-        rows = (
-            vals.select("x", F.explode(F.array(*structs)).alias("rid"))
-            .where(F.col("rid") >= 0)
-            .groupBy("rid", "x")
-            .agg(F.count("*").alias("cnt"))
-            .limit(hard_cap + 1)
-            .collect()
-        )
-        if len(rows) > hard_cap:
-            raise RuntimeError(
-                "exact_order_statistics: final collect exceeded "
-                f"{hard_cap} distinct (target, value) rows — histogram "
-                "narrowing did not converge; raise max_iters or n_buckets"
-            )
-        per: dict[int, list[tuple[float, int]]] = {rid: [] for rid, _ in pending}
-        for row in rows:
-            per[row["rid"]].append((row["x"], int(row["cnt"])))
-        for rid, t in pending:
-            k = t.k_rem
-            for val, cnt in sorted(per[rid]):
-                if cnt >= k:
-                    t.answer = val
-                    break
-                k -= cnt
-            else:  # pragma: no cover — counts changed under us
-                raise RuntimeError("final scan lost the target rank")
 
-    return [(t.q, t.k, float(t.answer)) for t in targets]
+def _final_collect(vals: DataFrame, pending, hard_cap: int):
+    """Bounded final collect: DISTINCT values with counts for every
+    pending target's interval, or None if the cap is exceeded.
+
+    Collect DISTINCT values with counts, not raw rows: targets that
+    exited via cnt <= collect_cap transfer at most cnt rows either
+    way, but width-guard / max_iters fall-throughs can still hold
+    huge intervals — on the pathological near-identical-value data
+    that triggers them, those are FEW distinct doubles repeated many
+    times, so grouping by value keeps the driver transfer bounded
+    where a raw collect would be driver-OOM-scale.  The hard cap
+    turns the residual adversarial case (many distinct values AND
+    no convergence) into a retry-then-loud-error instead of a silent
+    OOM (see exact_order_statistics' retry loop).
+    """
+    structs = [
+        F.when(
+            (F.col("x") >= F.lit(t.lo)) & (F.col("x") <= F.lit(t.hi)),
+            F.lit(rid),
+        ).otherwise(F.lit(-1))
+        for rid, t in pending
+    ]
+    rows = (
+        vals.select("x", F.explode(F.array(*structs)).alias("rid"))
+        .where(F.col("rid") >= 0)
+        .groupBy("rid", "x")
+        .agg(F.count("*").alias("cnt"))
+        .limit(hard_cap + 1)
+        .collect()
+    )
+    if len(rows) > hard_cap:
+        return None
+    return rows
+
+
+def _resolve_pending(pending, rows) -> None:
+    """Walk each pending target's sorted (value, count) list to its rank."""
+    per: dict[int, list[tuple[float, int]]] = {rid: [] for rid, _ in pending}
+    for row in rows:
+        per[row["rid"]].append((row["x"], int(row["cnt"])))
+    for rid, t in pending:
+        k = t.k_rem
+        for val, cnt in sorted(per[rid]):
+            if cnt >= k:
+                t.answer = val
+                break
+            k -= cnt
+        else:  # pragma: no cover — counts changed under us
+            raise RuntimeError("final scan lost the target rank")

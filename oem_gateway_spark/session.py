@@ -89,8 +89,8 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def _fast_tmp_base() -> str | None:
-    """tmpfs scratch base for LOCAL-mode JVM temp dirs, or None.
+def _fast_tmp_base() -> tuple[str, bool] | None:
+    """tmpfs scratch for LOCAL-mode JVM temp dirs: (base, route_shuffle).
 
     Structured Streaming's TEMP checkpoints (memory-sink twins, tests)
     and shuffle/spill scratch default to java.io.tmpdir / spark.local.dir
@@ -100,18 +100,30 @@ def _fast_tmp_base() -> str | None:
     9.6 -> 4.5 s and stream_stream_left_join 14.2 -> 9.4 s by moving
     them to /dev/shm).  Local mode only — durable checkpoints (the
     pipeline's explicit checkpointLocation paths) are untouched, and a
-    real cluster puts checkpoints on HDFS/S3, not here.  Requires
-    >= 8 GiB free so shuffle spill cannot exhaust RAM at test scale;
-    disable with SPARK_GRAFT_FAST_TMP=0.  Crash leftovers are
-    RAM-bounded tmpfs (normal exits clean via Spark's shutdown hooks)."""
+    real cluster puts checkpoints on HDFS/S3, not here.
+
+    TIERED free-space guard (r7 ADVICE: tmpfs IS RAM, and the check runs
+    once at session creation — a shuffle-heavy job can still fill it
+    mid-run with ENOSPC task failures and pressure on other tenants):
+    temp checkpoints are kilobytes-per-batch, but spark.local.dir holds
+    every live shuffle's map outputs + spills, which scale with the data.
+    So shuffle is routed to tmpfs only with >= 16 GiB free (~40x the
+    largest sf0.1 shuffle footprint we measure); temp checkpoints alone
+    need >= 8 GiB.  Below that everything stays on disk.  The failure
+    mode when the bound is still exceeded is a LOUD FileNotFoundException
+    / 'No space left on device' task failure with retries — never silent
+    corruption (documented in SCALE.md §"tmpfs scratch").  Disable with
+    SPARK_GRAFT_FAST_TMP=0.  Crash leftovers are RAM-bounded tmpfs
+    (normal exits clean via Spark's shutdown hooks)."""
     if os.environ.get("SPARK_GRAFT_FAST_TMP", "1") == "0":
         return None
     base = "/dev/shm/spark-graft-tmp"
     try:
         os.makedirs(base, exist_ok=True)
         st = os.statvfs(base)
-        if st.f_bavail * st.f_frsize >= 8 << 30:
-            return base
+        free = st.f_bavail * st.f_frsize
+        if free >= 8 << 30:
+            return base, free >= 16 << 30
     except OSError:
         return None
     return None
@@ -134,13 +146,15 @@ def get_spark(
     conf = dict(DEFAULT_CONF)
     fast = _fast_tmp_base() if master.startswith("local") else None
     if fast:
+        base, route_shuffle = fast
         # Static confs: only effective for a NEW JVM (getOrCreate on an
         # existing session silently keeps its values — correct either way).
-        conf.setdefault("spark.local.dir", os.path.join(fast, "local"))
+        if route_shuffle:
+            conf.setdefault("spark.local.dir", os.path.join(base, "local"))
         ejo = conf.get("spark.driver.extraJavaOptions", "")
         if "java.io.tmpdir" not in ejo:
             conf["spark.driver.extraJavaOptions"] = (
-                f"{ejo} -Djava.io.tmpdir={fast}".strip()
+                f"{ejo} -Djava.io.tmpdir={base}".strip()
             )
     if extra_conf:
         conf.update(extra_conf)

@@ -38,8 +38,9 @@ from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.functions import hashing as H
 from oem_gateway_spark.functions import text as T
 from oem_gateway_spark.operators.dedup import _own_cache
+from oem_gateway_spark.plans.explain import innermost_join_leaf_names
 from oem_gateway_spark.suite.llm import CORPUS_SQL, _corpus
-from oem_gateway_spark.suite.registry import query
+from oem_gateway_spark.suite.registry import query, register_conf_witness
 
 # Jaccard threshold as an exact rational (7/10): every prefix-length and
 # length-filter bound below is INTEGER arithmetic, so Spark and DuckDB
@@ -650,7 +651,10 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame BEFORE building any other registry query — bench.py and the
     # driver both do (build -> action -> next query).  The leak is
     # bounded to that one gap; test_plans pins both the conf lifecycle
-    # and the SortMergeJoin in the executed plan.
+    # and the SortMergeJoin in the executed plan, and the registry's
+    # conf-witness check (registry.register_conf_witness) makes an
+    # out-of-order call site fail loudly at its next build (r7 ADVICE).
+    register_conf_witness(spark, "q_bloom_prune")
     return out
 
 
@@ -749,11 +753,17 @@ def q_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment = 'BUILDING'
       GROUP BY o.o_orderpriority""")
-    opt = out._jdf.queryExecution().optimizedPlan().toString()
-    if opt.index(names["customer"]) > opt.index(names["lineitem"]):
+    # Walk the optimized-plan TREE (r7 ADVICE: table names also appear in
+    # pushed-filter / file-listing annotations of the plan STRING, so
+    # substring positions can pass or fail for unrelated reasons): after the
+    # reorder, the bottom-most join must be (orders x filtered customer) —
+    # its leaf relations contain the customer table and NOT lineitem.
+    inner_leaves = " | ".join(innermost_join_leaf_names(out))
+    if names["customer"] not in inner_leaves or names["lineitem"] in inner_leaves:
         raise RuntimeError(
-            "q_cbo_join_reorder: join reorder did not fire — the filtered "
-            "dim still joins after the fact (stats missing or cbo conf "
-            "reset between build and plan time?)"
+            "q_cbo_join_reorder: join reorder did not fire — the bottom-most "
+            f"join reads [{inner_leaves}] instead of (orders x customer) "
+            "(stats missing or cbo conf reset between build and plan time?)"
         )
+    register_conf_witness(spark, "q_cbo_join_reorder")
     return out

@@ -10,6 +10,7 @@ HUGEINT otherwise).
 from __future__ import annotations
 
 import functools
+import logging
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -18,6 +19,65 @@ from pyspark.sql import DataFrame, SparkSession
 from oem_gateway_spark.session import ensure_runtime_conf
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_log = logging.getLogger(__name__)
+
+# --------------------------------------------------- conf-witness discipline
+#
+# q_bloom_prune / q_cbo_join_reorder deliberately leave session confs mutated
+# until the NEXT registry build (physical planning + AQE read conf at ACTION
+# time; an eager restore silently un-witnesses the plan — r7 code-review
+# finding).  The contract is therefore build -> ACT -> next build.  This
+# module makes an out-of-order call site FAIL LOUDLY (r7 ADVICE) instead of
+# silently degrading: the witness builder tags its Spark job group, and the
+# next registry build checks the status tracker — zero jobs in the group
+# means the witness frame was never executed while its confs held.
+# Violations are logged at ERROR and recorded here; the full-registry oracle
+# replay asserts the list stays empty.
+
+CONF_WITNESS_VIOLATIONS: list[str] = []
+_pending_witness: dict | None = None
+_witness_seq = 0
+
+
+def register_conf_witness(spark: SparkSession, name: str) -> None:
+    """Called by a conf-leaking witness builder as its LAST step: tag the
+    current thread's job group so the next registry build can verify an
+    action ran in between."""
+    global _pending_witness, _witness_seq
+    _witness_seq += 1
+    group = f"conf-witness-{name}-{_witness_seq}"
+    spark.sparkContext.setJobGroup(group, f"{name} conf-witness window")
+    _pending_witness = {"name": name, "group": group, "spark": spark}
+
+
+def _check_pending_witness() -> None:
+    global _pending_witness
+    if _pending_witness is None:
+        return
+    pending, _pending_witness = _pending_witness, None
+    spark = pending["spark"]
+    try:
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            pending["group"]
+        )
+    except Exception:  # status tracker gone (session stopped): nothing to say
+        return
+    finally:
+        try:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        except Exception:
+            pass
+    if not jobs:
+        msg = (
+            f"conf-witness violation: {pending['name']} was built but never "
+            "executed before the next registry build — its mutated session "
+            "confs are now reset, so the witnessed plan (shuffle join with "
+            "runtime pruning / stats-driven reorder) did NOT run.  Execute "
+            "the frame before building another query."
+        )
+        CONF_WITNESS_VIOLATIONS.append(pending["name"])
+        _log.error(msg)
 
 
 @dataclass(frozen=True)
@@ -40,6 +100,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # A conf-leaking witness built earlier must have been ACTED on
+            # before this build resets its confs — fail loudly if not.
+            _check_pending_witness()
             # The driver may pass a bare session (200 shuffle partitions, no
             # AQE, unpinned timezone, no nanos conf): pin the runtime-settable
             # conf so results and plans match get_spark sessions exactly.

@@ -1,0 +1,116 @@
+"""Round-8 regression tests: the r7 ADVICE findings.
+
+- minhash_probe_pairs must fall back to a shuffle join (no broadcast)
+  when the new side exceeds max_broadcast_rows, with identical results
+  (ADVICE r7: the unconditional broadcast OOMs on a large is_new slice).
+- exact_order_statistics must still return the correct answer when the
+  final bounded collect would overflow — retry with finer histograms
+  instead of raising (ADVICE r7: the hard cap turned a previously
+  correct-if-slow case into a RuntimeError).
+- the join-reorder witness must verify order on the optimized plan TREE,
+  not substring positions (ADVICE r7: table names also appear in filter
+  and file-listing annotations of the plan string).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return sorted(
+        (r["new_id"], r["store_id"], r["n_equal_minhash"]) for r in df.collect()
+    )
+
+
+def test_minhash_probe_pairs_shuffle_fallback_matches_broadcast(spark):
+    """max_broadcast_rows=0 forces the shuffle fallback: results must be
+    identical to the broadcast path and the executed plan must not
+    broadcast the new side."""
+    from oem_gateway_spark.operators.dedup import minhash_probe_pairs
+
+    corpus = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    is_new = F.col("doc_id") % 5 == 0
+    bcast = minhash_probe_pairs(corpus, is_new)
+    expected = _pairs(bcast)
+    # With auto-broadcast disabled, only the HINT can force a broadcast:
+    # the guarded fallback must plan a shuffle join, the default path a
+    # broadcast.  (At test scale AQE would otherwise auto-broadcast the
+    # tiny side either way, which is exactly the behavior we WANT to keep
+    # — the guard only drops the hint, it does not forbid broadcasts.)
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_auto = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fallback = minhash_probe_pairs(corpus, is_new, max_broadcast_rows=0)
+        assert _pairs(fallback) == expected
+        plan = fallback._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        hinted = minhash_probe_pairs(corpus, is_new)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+        if aqe_auto:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_auto)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_exact_order_statistics_retries_instead_of_raising(spark):
+    """A final collect that would overflow the (tiny) cap must narrow
+    further and still return the exact answer, not raise."""
+    from oem_gateway_spark.operators.selection import exact_order_statistics
+
+    df = spark.range(4000).select((F.col("id").cast("double")).alias("v"))
+    # collect_cap=8 with max_iters=1: after one narrowing round every
+    # interval still holds >> 8*4 distinct values, so the first final
+    # collect overflows and the retry path must converge.
+    got = exact_order_statistics(
+        df, "v", [0.25, 0.5, 0.99], n_buckets=4, collect_cap=8, max_iters=1
+    )
+    assert [(q, k, v) for q, k, v in got] == [
+        (0.25, 1000, 999.0),
+        (0.5, 2000, 1999.0),
+        (0.99, 3960, 3959.0),
+    ]
+
+
+def test_conf_witness_out_of_order_build_fails_loudly(spark):
+    """Building q_bloom_prune and then building another registry query
+    WITHOUT executing the witness frame must record a loud violation;
+    the proper build->act->build sequence must not."""
+    from oem_gateway_spark.suite import REGISTRY
+    from oem_gateway_spark.suite.registry import CONF_WITNESS_VIOLATIONS
+
+    base = list(CONF_WITNESS_VIOLATIONS)
+    # Proper discipline: build -> act -> next build.
+    REGISTRY["q_bloom_prune"].fn(spark, SF).collect()
+    REGISTRY["q_semi_join"].fn(spark, SF)
+    assert CONF_WITNESS_VIOLATIONS == base
+    # Violation: build the witness, then build another query with no action.
+    REGISTRY["q_bloom_prune"].fn(spark, SF)
+    REGISTRY["q_semi_join"].fn(spark, SF)
+    assert CONF_WITNESS_VIOLATIONS == base + ["q_bloom_prune"]
+    CONF_WITNESS_VIOLATIONS[:] = base
+
+
+def test_cbo_join_reorder_tree_verification(spark):
+    """The rewritten tree-walk verification must accept the genuinely
+    reordered plan (and the innermost-join helper must see the filtered
+    dim, not the fact, under the bottom-most join)."""
+    from oem_gateway_spark.plans.explain import innermost_join_leaf_names
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["q_cbo_join_reorder"].fn(spark, SF)
+    leaves = " | ".join(innermost_join_leaf_names(out))
+    assert "cbo_customer" in leaves and "cbo_lineitem" not in leaves
+    assert out.count() > 0

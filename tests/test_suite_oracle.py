@@ -26,3 +26,11 @@ def test_query_matches_oracle(name, spark, duck):
     ddf = duck.sql(spec.oracle).df()
     errs = compare(sdf, ddf, name)
     assert not errs, "\n".join(errs)
+
+
+def test_no_conf_witness_violations_after_replay():
+    """The full build->act replay above must never trip the conf-witness
+    guard (q_bloom_prune / q_cbo_join_reorder executed out of order)."""
+    from oem_gateway_spark.suite.registry import CONF_WITNESS_VIOLATIONS
+
+    assert CONF_WITNESS_VIOLATIONS == []
