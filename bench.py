@@ -108,6 +108,13 @@ HEADLINE = [
     "q_time_weighted_avg",
     "q_variant_shred",
     "q_cbo_join_reorder",
+    # round-8 additions
+    "q_sequence_pattern",
+    "q_null_safe_join",
+    "q_binned_theta_join",
+    "d_dedup_rewrite",
+    "u_sql_udf",
+    "stream_upsert_latest",
 ]
 
 

@@ -840,3 +840,135 @@ def topk_admission_stream(
             ),
         )
     )
+
+
+def upsert_latest_stream(
+    stream: DataFrame,
+    key_col: str = "node",
+    value_col: str = "value",
+    ts_ms_col: str = "ts_ms",
+    id_col: str = "event_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming LAST-WRITE-WINS upsert store: per key, keep the reading
+    with the greatest event time seen SO FAR — the CDC-apply /
+    key-value-materialization state shape, fed by an OUT-OF-ORDER
+    replay (the suite's other custom twins all replay in time order, so
+    none of them ever witnesses a late arrival being REJECTED by the
+    state).
+
+    Update rule per arriving row (batch rows processed in (ts, id)
+    order): the row replaces the state iff its ts_ms is STRICTLY
+    greater than the stored one — a late (out-of-order) arrival leaves
+    the state untouched, and ``n_updates`` counts accepted writes only,
+    so the count is observable evidence the rejection actually happened
+    (it differs from the per-key row count exactly when late data
+    arrived).  Emits one row per (key, batch) WHEN the state changed:
+    (node, last_event_id, last_ts_ms, last_value, n_updates) — an
+    upsert changelog, downstream-consumable as a keyed compact-on-read
+    table.  State is O(1) per key: three longs and a double.
+
+    New state shape for the twin family: a VERSIONED LWW REGISTER —
+    vs scalar recurrence (ewma), scalar carry (locf), merging interval
+    (session_assign), bounded ordered collection (topk), counters
+    (running_stats).  At 100 TB this is Structured Streaming's
+    canonical dedup-to-latest materialization: state is keys x O(1),
+    partitioned by the grouping key, with RocksDB state store + event
+    -time TTL (timeout_minutes) bounding the working set.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("node", IntegerType()),
+            StructField("last_event_id", LongType()),
+            StructField("last_ts_ms", LongType()),
+            StructField("last_value", DoubleType()),
+            StructField("n_updates", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts_ms", LongType()),
+            StructField("last_id", LongType()),
+            StructField("last_value", DoubleType()),
+            StructField("n_updates", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (node,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["ts_ms", "event_id"], kind="stable", ignore_index=True
+        )
+        if state.exists:
+            last_ts, last_id, last_val, n_upd = state.get
+            last_ts, last_id, n_upd = int(last_ts), int(last_id), int(n_upd)
+            last_val = float(last_val)
+        else:
+            last_ts, last_id, last_val, n_upd = -1, -1, float("nan"), 0
+        before = n_upd
+        for ts, eid, val in zip(
+            pdf["ts_ms"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["value"].astype("float64"),
+        ):
+            if int(ts) > last_ts:
+                last_ts, last_id, last_val = int(ts), int(eid), float(val)
+                n_upd += 1
+        state.update((last_ts, last_id, last_val, n_upd))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if n_upd == before:  # pure-late batch: changelog stays silent
+            return
+        yield pd.DataFrame(
+            {
+                "node": [node],
+                "last_event_id": [last_id],
+                "last_ts_ms": [last_ts],
+                "last_value": [last_val],
+                "n_updates": [n_upd],
+            }
+        )
+
+    return (
+        # Normalize ALL column names to constants before the state op
+        # (the sibling helpers' convention).
+        stream.selectExpr(
+            f"CAST({key_col} AS INT) AS node",
+            f"CAST({id_col} AS LONG) AS event_id",
+            f"CAST({ts_ms_col} AS LONG) AS ts_ms",
+            f"CAST({value_col} AS DOUBLE) AS value",
+        )
+        .groupBy("node")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )

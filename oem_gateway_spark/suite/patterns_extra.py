@@ -1,0 +1,549 @@
+"""Round-8 operators: plan shapes the registry lacked.
+
+Each query's docstring names the NEW shape it adds (the r5 VERDICT #8
+discipline — the 50-slot witness budget is the scarce resource, so new
+registrations must buy coverage, not breadth):
+
+- q_sequence_pattern    ORDER-SENSITIVE SEQUENTIAL PATTERN over rows
+                        (MATCH_RECOGNIZE-lite): strict-adjacency regex
+                        over per-key event sequences via a lag chain.
+- q_null_safe_join      NULL-SAFE EQUALITY (<=>) as the join key: the
+                        one join semantics where NULL matches NULL.
+- q_binned_theta_join   PURE INEQUALITY (theta) join made scale-safe by
+                        BINNING: |a-b| <= eps as an exploded equi-join
+                        on bins, never a cross product.
+- d_dedup_rewrite       corpus-global dedup followed by ORDER-PRESERVING
+                        DOCUMENT REASSEMBLY (explode -> global keep-first
+                        -> positional re-aggregation back to one row).
+- u_sql_udf             Spark 4 SQL-language scalar UDF (CREATE FUNCTION
+                        ... RETURN expr): the declarative UDF surface
+                        that INLINES into the plan (vs the Python UDF
+                        family, which ships rows to a worker).
+- stream_upsert_latest  VERSIONED LWW REGISTER state over an
+                        OUT-OF-ORDER replay — the only stateful twin
+                        whose input is deliberately not time-ordered,
+                        witnessing late-arrival REJECTION.
+
+Reference: the gateway (SURVEY.md ~l.120) has no analytics; these are
+§2.6 engine-beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.functions import hashing as H
+from oem_gateway_spark.suite.registry import query
+
+_DAY_MS = 86_400_000
+
+# ---------------------------------------------------------- q_sequence_pattern
+
+
+@query(
+    "q_sequence_pattern",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_id, 1)  OVER w AS id1,
+             lag(event_type, 2) OVER w AS t2,
+             lag(event_id, 2)  OVER w AS id2,
+             lag(CAST(epoch_ms(ts) AS BIGINT), 2) OVER w AS ms2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_ms(ts) AS BIGINT),
+                   event_id)
+    )
+    SELECT user_id, id2 AS view_id, id1 AS click_id,
+           event_id AS purchase_id,
+           CAST(ts_ms - ms2 AS BIGINT) AS span_ms
+    FROM seq
+    WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+      AND ts_ms - ms2 <= {_DAY_MS}
+    """,
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: find every STRICTLY ADJACENT view->click->
+    purchase triple per user completing within one day.
+
+    New plan shape: ORDER-SENSITIVE SEQUENTIAL PATTERN MATCHING over row
+    sequences (a regex over ordered events).  The funnel/cohort family
+    counts stage MEMBERSHIP (set semantics — a conversion counts however
+    many events intervene); this is adjacency semantics, where an
+    intervening 'error' breaks the match.  Spark has no MATCH_RECOGNIZE;
+    the fixed-length pattern compiles to a LAG CHAIN — one shuffle on
+    user_id, one partition-local sort, the pattern predicate evaluated
+    rowwise in whole-stage codegen.  At 100 TB that is one exchange of
+    (user, ts, type, id) and zero joins; variable-length patterns
+    (A B* C) would extend this with the gaps-and-islands run-encoding
+    (q_interval_union's shape), still windows-only.  Ties at equal ts
+    order by event_id — one total order on both engines; span arithmetic
+    is integer ms."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+    ).select(
+        "*",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_id", 1).over(w).alias("id1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_id", 2).over(w).alias("id2"),
+        F.lag("ts_ms", 2).over(w).alias("ms2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "view")
+            & (F.col("ts_ms") - F.col("ms2") <= _DAY_MS)
+        )
+        .select(
+            "user_id",
+            F.col("id2").alias("view_id"),
+            F.col("id1").alias("click_id"),
+            F.col("event_id").alias("purchase_id"),
+            (F.col("ts_ms") - F.col("ms2")).alias("span_ms"),
+        )
+    )
+
+
+# ----------------------------------------------------------- q_null_safe_join
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 50 AS INT) END AS k
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), r AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 89 = 0 THEN NULL
+                  ELSE CAST(p_partkey % 50 AS INT) END AS k
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT l.k AS join_key,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT r.p_partkey) AS BIGINT) AS n_parts
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): rows
+    with NULL keys MATCH each other instead of silently dropping — the
+    record-linkage semantics for optional attributes (unknown == unknown
+    counts as a candidate pair).
+
+    New plan shape: NULL-SAFE EQUALITY AS THE SHUFFLE KEY.  Every other
+    equi-join in the registry uses plain ``=``, whose NULL rows never
+    leave the map side; ``<=>`` makes NULL a real key value — Catalyst
+    plans a SortMergeJoin whose hash/sort key treats NULL as one bucket
+    (EqualNullSafe carries the exchange, no coalesce rewrite needed).
+    The scale hazard is specific to this shape: ALL null-keyed rows land
+    in ONE partition, so a high-null-rate attribute needs the salted
+    pattern (q_salted_join) applied to the null bucket only; here the
+    null rate is ~1-2% by construction, the realistic optional-attribute
+    regime.  Integer-derived keys; counts BIGINT both sides."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    lk = F.when(
+        F.col("o_orderkey") % 97 == 0, F.lit(None).cast("int")
+    ).otherwise((F.col("o_orderkey") % 50).cast("int"))
+    rk = F.when(
+        F.col("p_partkey") % 89 == 0, F.lit(None).cast("int")
+    ).otherwise((F.col("p_partkey") % 50).cast("int"))
+    lt = o.select("o_orderkey", lk.alias("k"))
+    rt = p.select("p_partkey", rk.alias("k2"))
+    return (
+        lt.join(rt, lt.k.eqNullSafe(rt.k2))
+        .groupBy(F.col("k").alias("join_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+# -------------------------------------------------------- q_binned_theta_join
+
+_THETA_EPS = 50  # |value difference| <= 0.05, in exact milli-units
+
+
+@query(
+    "q_binned_theta_join",
+    oracle=f"""
+    WITH l AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS iv
+      FROM events WHERE event_id % 3 = 0
+    ), r AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS iv
+      FROM events WHERE event_id % 3 = 1
+    )
+    SELECT l.event_type AS l_type, r.event_type AS r_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(l.iv - r.iv)) AS BIGINT) AS sum_abs_mdiff
+    FROM l JOIN r ON abs(l.iv - r.iv) <= {_THETA_EPS}
+    GROUP BY l.event_type, r.event_type
+    """,
+)
+def q_binned_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join — |value_l - value_r| <= eps across
+    two disjoint event slices — rewritten as a BINNED EQUI-JOIN.
+
+    New plan shape: NO equi key exists (q_range_join's range predicate
+    rides an orderkey equi-join; q_cross_join_pairs is a bounded dim
+    cross), so a naive plan is a BroadcastNestedLoopJoin — O(n*m)
+    comparisons and a single-node bottleneck at any real scale.  The
+    scale-safe rewrite: quantize each value to an integer bin of width
+    eps, explode the LEFT side to its 3 adjacent bins (any pair within
+    eps differs by at most one bin — integer arithmetic, so the
+    guarantee is exact, no float-boundary leakage), equi-join on the
+    bin, then apply the exact predicate.  One shuffle each side on the
+    bin key, 3x left fan-out, zero cross product; work is
+    O((n+m) + true_pairs + near_miss_pairs-within-one-bin) instead of
+    O(n*m).  The DuckDB oracle runs the PLAIN theta join — same pairs
+    by construction, which is precisely the claim under test.  Values
+    quantized via the shared floor(x*1000+0.5) trick so both engines
+    compare identical integers; output aggregated per (l_type, r_type)
+    so the result stays kilobytes at any sf."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("iv"),
+    )
+    left = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_type").alias("l_type"), F.col("iv").alias("l_iv")
+    )
+    right = ev.filter(F.col("event_id") % 3 == 1).select(
+        F.col("event_type").alias("r_type"), F.col("iv").alias("r_iv")
+    )
+    bin_l = F.floor(F.col("l_iv") / _THETA_EPS).cast("long")
+    bin_r = F.floor(F.col("r_iv") / _THETA_EPS).cast("long")
+    exploded = left.select(
+        "l_type",
+        "l_iv",
+        F.explode(
+            F.array(bin_l - 1, bin_l, bin_l + 1)
+        ).alias("bin"),
+    )
+    rb = right.select("r_type", "r_iv", bin_r.alias("bin"))
+    return (
+        exploded.join(rb, "bin")
+        .filter(F.abs(F.col("l_iv") - F.col("r_iv")) <= _THETA_EPS)
+        .groupBy("l_type", "r_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.abs(F.col("l_iv") - F.col("r_iv"))).alias("sum_abs_mdiff"),
+        )
+    )
+
+
+# ----------------------------------------------------------- d_dedup_rewrite
+
+_SEG_WORDS = 8
+
+
+@query(
+    "d_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {H.words_sql('text')} AS w FROM documents
+    ), ix AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0,
+               CAST(ceil(len(w) / {_SEG_WORDS}.0) AS INT) - 1)) AS seg_id
+      FROM toks WHERE len(w) > 0
+    ), segs AS (
+      SELECT doc_id, seg_id,
+             array_to_string(list_slice(w, seg_id * {_SEG_WORDS} + 1,
+                                        seg_id * {_SEG_WORDS} + {_SEG_WORDS}),
+                             ' ') AS seg_text
+      FROM ix
+    ), ranked AS (
+      SELECT doc_id, seg_id, seg_text,
+             row_number() OVER (PARTITION BY seg_text
+                                ORDER BY doc_id, seg_id) AS rn
+      FROM segs
+    ), rebuilt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(seg_text, ' ' ORDER BY seg_id)) AS rewrite_fp
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_segs, 0) AS BIGINT) AS n_segs,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(r.rewrite_fp, md5('')) AS rewrite_fp
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def d_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global segment dedup followed by DOCUMENT REWRITE: drop
+    every repeated {_SEG_WORDS}-word segment (first occurrence by
+    (doc_id, seg_id) survives) and REASSEMBLE each document's surviving
+    segments in original order — the Dolma/C4 paragraph-dedup step that
+    actually EDITS the corpus, not just scores it.
+
+    New plan shape: EXPLODE -> GLOBAL KEEP-FIRST -> ORDER-PRESERVING
+    RE-AGGREGATION.  d_chunk_dedup ends at per-doc survivor COUNTS;
+    this completes the round trip back to one row per document, which
+    needs the positional re-aggregation (collect surviving (seg_id,
+    text) structs, sort within the doc, join back to words) — the shape
+    any span-level corpus EDIT (PII excision, boilerplate strip at
+    span granularity) must use.  Cost: one shuffle on seg fingerprint
+    (keep-first window), one on doc_id (reassembly) — exchanges carry
+    ids + segment text, and at 100 TB the segment text in the second
+    exchange is the irreducible payload (it IS the output).  Docs
+    reduced to nothing (all segments seen earlier) are kept via the
+    left join with an empty rewrite — the oracle-visible proof the
+    reassembly doesn't silently drop rows.  Output is the md5 of the
+    normalized rewrite, so content (not just counts) is verified."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = H.words(F.col("text"))
+    toks = docs.select("doc_id", w.alias("w")).filter(F.size("w") > 0)
+    n_segs = F.ceil(F.size("w") / F.lit(_SEG_WORDS)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_id"),
+    ).select(
+        "doc_id",
+        "seg_id",
+        F.array_join(
+            F.slice(F.col("w"), F.col("seg_id") * _SEG_WORDS + 1, _SEG_WORDS),
+            " ",
+        ).alias("seg_text"),
+    )
+    keep_w = Window.partitionBy("seg_text").orderBy("doc_id", "seg_id")
+    ranked = segs.withColumn("rn", F.row_number().over(keep_w))
+    rebuilt = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seg_id", "seg_text"))
+                        ),
+                        lambda s: s.seg_text,
+                    ),
+                    " ",
+                )
+            ).alias("rewrite_fp"),
+        )
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("rewrite_fp", F.md5(F.lit(""))).alias("rewrite_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- u_sql_udf
+
+
+@query(
+    "u_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS charged_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def u_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``): the declarative user-function surface.
+
+    New engine surface: the UDF family (u_python_udf, u_pandas_udf_*,
+    u_apply_in_pandas, u_python_udtf) all cross the JVM/Python boundary;
+    a SQL UDF is pure Catalyst — the optimizer INLINES the body at every
+    call site, so the charged-cents function below costs exactly the
+    same as writing the expression by hand: full whole-stage codegen,
+    predicate/column pruning through the call, zero serialization.
+    That inlining is the 100 TB story — shared business logic
+    (the charge formula every TPC-H revenue query repeats) gets a NAME
+    without a performance tax, where the same logic as a Python UDF
+    turns a map-side expression into an Arrow round trip.  The plan
+    test pins the inlining (no reference to the function survives in
+    the optimized plan).  Money math in integer cents (shared
+    floor(x*100+0.5) doctrine) so the BIGINT sum hash-matches."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_cents(p DOUBLE,"
+        " d DOUBLE, t DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(floor(p * (1 - d) * (1 + t) * 100 + 0.5) AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "r8_lineitem_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               sum(charged_cents(l_extendedprice, l_discount, l_tax))
+                 AS charged_cents
+        FROM r8_lineitem_sqludf
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# -------------------------------------------------------- stream_upsert_latest
+
+
+def _shuffled_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user_id%50 event slice as FOUR micro-batches split by
+    ``event_id % 4`` — a deliberately OUT-OF-ORDER replay (each batch
+    spans the whole time range), unlike _ordered_event_replay's
+    time-ordered batches.  This is the arrival pattern that makes a
+    late event REACH an already-advanced LWW state, which the ordered
+    replay can never produce.  Built once per (sf_dir, content
+    fingerprint); batch order pinned by file mtimes."""
+    import glob
+    import os
+    import shutil
+
+    from oem_gateway_spark.suite.streaming_batch import _source_fp
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+        )
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    split_dir = os.path.join(
+        "/root/repo/.scratch", f"upsert-events-{safe}-{_source_fp(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(split_dir, "zz_3.parquet")):
+        os.makedirs(split_dir, exist_ok=True)
+        for k in range(4):
+            tmp = f"{split_dir}.tmp{os.getpid()}_{k}"
+            (
+                ev.filter(F.col("event_id") % 4 == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(split_dir, f"zz_{k}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + 1000 * k,) * 2)
+    schema = spark.read.parquet(split_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(split_dir)
+    )
+
+
+@query(
+    "stream_upsert_latest",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+             event_id % 4 AS b
+      FROM events WHERE user_id % 50 = 0
+    ), arr AS (
+      SELECT *, coalesce(max(ts_ms) OVER (
+               PARTITION BY user_id ORDER BY b, ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             AS prev_max
+      FROM seq
+    ), upd AS (
+      SELECT * FROM arr WHERE ts_ms > prev_max
+    ), final AS (
+      SELECT user_id, event_id, ts_ms, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_ms DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_updates
+      FROM upd
+    )
+    SELECT CAST(user_id AS INT) AS node,
+           event_id AS last_event_id,
+           ts_ms AS last_ts_ms,
+           value AS last_value,
+           CAST(n_updates AS BIGINT) AS n_updates
+    FROM final WHERE rn = 1
+    """,
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful LAST-WRITE-WINS upsert (applyInPandasWithState)
+    over an OUT-OF-ORDER replay: the telemetry streams as four
+    hash-split micro-batches (each spans the full time range), and the
+    per-key state keeps only the latest-by-event-time reading, with
+    ``n_updates`` counting ACCEPTED writes — late arrivals are rejected
+    by the state, so n_updates < per-key row count exactly where
+    out-of-order data hit, the observable witness no time-ordered twin
+    can produce.  See streaming/state.py::upsert_latest_stream for the
+    state shape (versioned LWW register — new to the twin family).
+
+    The batch oracle replays the SAME deterministic arrival order
+    (batch = event_id % 4, then (ts, id) within batch — exactly the
+    order the streaming UDF processes) with a running prefix-max:
+    accepted writes are the prefix maxima, the final row is the last
+    of them.  Integer-ms arithmetic; the carried value is a DOUBLE but
+    is never operated on, so bytes match exactly.  The memory sink
+    accumulates the per-batch changelog; the final state per key is
+    the max-n_updates emission (n_updates is strictly increasing across
+    a key's emissions — emit-on-change)."""
+    from oem_gateway_spark.streaming import state as ST
+    from oem_gateway_spark.suite.streaming_batch import _run_to_table
+
+    stream = _shuffled_event_replay(spark, sf_dir)
+    out = ST.upsert_latest_stream(
+        stream,
+        key_col="user_id",
+        value_col="value",
+        ts_ms_col="ts_ms",
+        id_col="event_id",
+        timeout_minutes=None,
+    )
+    log = _run_to_table(out, mode="update")
+    latest = F.max_by(
+        F.struct("last_event_id", "last_ts_ms", "last_value"), "n_updates"
+    )
+    return log.groupBy("node").agg(
+        latest.getField("last_event_id").alias("last_event_id"),
+        latest.getField("last_ts_ms").alias("last_ts_ms"),
+        latest.getField("last_value").alias("last_value"),
+        F.max("n_updates").alias("n_updates"),
+    )

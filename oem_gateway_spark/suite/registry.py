@@ -51,6 +51,24 @@ def register_conf_witness(spark: SparkSession, name: str) -> None:
     _pending_witness = {"name": name, "group": group, "spark": spark}
 
 
+def clear_conf_witness(reason: str) -> None:
+    """Acknowledge a pending conf witness WITHOUT executing it — for call
+    sites that build plans but never act by design (tools/dump_plans.py).
+    Anything else should execute the frame; this exists so the loud guard
+    stays meaningful instead of being noise for plan-dump tooling."""
+    global _pending_witness
+    if _pending_witness is None:
+        return
+    pending, _pending_witness = _pending_witness, None
+    try:
+        pending["spark"].sparkContext.setLocalProperty("spark.jobGroup.id", None)
+    except Exception:
+        pass
+    _log.info(
+        "conf witness %s cleared without execution: %s", pending["name"], reason
+    )
+
+
 def _check_pending_witness() -> None:
     global _pending_witness
     if _pending_witness is None:

@@ -103,6 +103,65 @@ def test_conf_witness_out_of_order_build_fails_loudly(spark):
     CONF_WITNESS_VIOLATIONS[:] = base
 
 
+def test_sql_udf_inlines_into_plan(spark):
+    """u_sql_udf's SQL-language function must INLINE: no trace of the
+    function name and no Python eval node in the optimized plan."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["u_sql_udf"].fn(spark, SF)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "charged_cents" not in opt.replace("AS charged_cents", "")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_binned_theta_join_is_equi_not_nested_loop(spark):
+    """The theta join must execute as a binned equi-join — never a
+    nested-loop / cartesian plan."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["q_binned_theta_join"].fn(spark, SF)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_dedup_rewrite_keeps_every_document(spark):
+    """The reassembly's left join must preserve all doc_ids, including
+    documents whose every segment was dropped as a duplicate."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["d_dedup_rewrite"].fn(spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert set(out.columns) == {"doc_id", "n_segs", "n_kept", "rewrite_fp"}
+    assert (out["n_kept"] <= out["n_segs"]).all()
+
+
+def test_upsert_latest_rejects_late_arrivals(spark):
+    """The out-of-order replay must make the LWW state REJECT at least
+    one late arrival: accepted-write count strictly below the per-key
+    row count (with a time-ordered replay the two are always equal)."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["stream_upsert_latest"].fn(spark, SF).toPandas()
+    rows_per_key = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") % 50 == 0)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    merged = out.set_index("node").join(rows_per_key)
+    assert (merged["n_updates"] <= merged["count"]).all()
+    assert (merged["n_updates"] < merged["count"]).any(), (
+        "no late arrival was rejected — the replay is not out-of-order"
+    )
+
+
 def test_cbo_join_reorder_tree_verification(spark):
     """The rewritten tree-walk verification must accept the genuinely
     reordered plan (and the innermost-join helper must see the filtered

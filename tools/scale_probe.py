@@ -95,6 +95,22 @@ PROBES = [
                                 # self-joins; broadcast batch side — must
                                 # stay linear in the store
     "q_time_weighted_avg",      # lead() window + integer products: linear
+    # round-8 additions:
+    "q_sequence_pattern",       # lag-chain pattern match: one user exchange,
+                                # per-user series length constant under the
+                                # fleet-growth axis — must stay linear
+    "q_binned_theta_join",      # binned theta join: replicas DUPLICATE the
+                                # value distribution, so in-eps density and
+                                # hence TRUE pair count grow ~k^2 — expected
+                                # super-linear tail by OUTPUT construction
+                                # (the d_setsim/d_incremental_minhash
+                                # reading: candidate generation stays linear
+                                # per emitted pair; no plan fix can beat the
+                                # size of the correct answer)
+    "d_dedup_rewrite",          # segment keep-first + positional reassembly:
+                                # replica segments dedup to the x1 corpus, so
+                                # the window input grows k-fold, kept output
+                                # stays ~x1 — must stay linear
 ]
 
 
@@ -343,7 +359,12 @@ def main() -> None:
         "means candidate generation and verification stay near-linear",
         "while only the unavoidable output term grows.  The same",
         "reading applies to d_minhash_containment (its broadcast-pairs",
-        "probe enumerates the same duplicated-group pairs).",
+        "probe enumerates the same duplicated-group pairs) and to",
+        "q_binned_theta_join: replicas duplicate the value distribution,",
+        "so in-eps density and the TRUE pair count grow ~k**2 (x16 at",
+        "x4) — a sub-1.0 measured tail therefore means the binned",
+        "rewrite's candidate work tracks input + output, never the n*m",
+        "cross product a nested-loop plan would pay.",
         "",
         "```json",
         json.dumps(results),
