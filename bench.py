@@ -173,7 +173,22 @@ def main() -> None:
     # headline list grows.  null (not 0.0) when an artifact is absent —
     # a missing baseline must never read as an infinite speedup.
     def _comparable_wall(artifact: str) -> float | None:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact)
+        here_ = os.path.dirname(os.path.abspath(__file__))
+        # Prefer the repo's own complete copy of that round's bench output
+        # (BENCH_full_rNN.json, written below): the driver's BENCH_rNN.json
+        # keeps only a tail substring, and from r6 on that tail TRUNCATES
+        # THE HEAD of the queries dict, so brace-recovery fails and the
+        # wall correctly (but unnecessarily) nulls.
+        full = os.path.join(here_, artifact.replace("BENCH_r", "BENCH_full_r"))
+        try:
+            with open(full) as f:
+                names = set(json.load(f)["queries"])
+            if names - timings.keys():
+                return None
+            return round(sum(t for q, t in timings.items() if q in names), 3)
+        except (OSError, KeyError, ValueError, TypeError):
+            pass
+        path = os.path.join(here_, artifact)
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -239,21 +254,32 @@ def main() -> None:
     )
     frames_per_sec = round(n_frames / max(timings["g_parse_serial"], 1e-9), 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "r2_comparable_wall": r2_wall,
-                **walls,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "parse_frames_per_sec": frames_per_sec,
-                "reference_frames_per_sec": 5.0,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "r2_comparable_wall": r2_wall,
+            **walls,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "parse_frames_per_sec": frames_per_sec,
+            "reference_frames_per_sec": 5.0,
+        }
     )
+    # Persist the COMPLETE output for the round in progress (= newest
+    # driver artifact + 1; the driver writes BENCH_rNN.json only at round
+    # end): future rounds read the full queries dict from here instead of
+    # the driver artifact's head-truncated tail (see _comparable_wall).
+    try:
+        cur_round = max(rounds, default=0) + 1
+        with open(
+            os.path.join(here, f"BENCH_full_r{cur_round:02d}.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line is still the contract
+    print(line)
 
 
 if __name__ == "__main__":
