@@ -115,6 +115,8 @@ HEADLINE = [
     "d_dedup_rewrite",
     "u_sql_udf",
     "stream_upsert_latest",
+    "q_multi_format_union",
+    "g_framelog_batch",
 ]
 
 

@@ -23,9 +23,18 @@ registrations must buy coverage, not breadth):
                         OUT-OF-ORDER replay — the only stateful twin
                         whose input is deliberately not time-ordered,
                         witnessing late-arrival REJECTION.
+- q_multi_format_union  heterogeneous-format ingestion parity: the one
+                        multi-DataSource plan (parquet + schema-explicit
+                        CSV + JSON scans unioned), text round trips
+                        hash-verified lossless.
+- g_framelog_batch      Spark 4 BATCH Python DataSource (the streaming
+                        half is sources/serial_source.py): archived
+                        device-log replay, one InputPartition per
+                        capture shard, full value-hash oracle.
 
 Reference: the gateway (SURVEY.md ~l.120) has no analytics; these are
-§2.6 engine-beyond-reference surface.
+§2.6 engine-beyond-reference surface (g_framelog_batch additionally
+replays the reference's own serial frame format, SURVEY §2.1 S1).
 """
 
 from __future__ import annotations
@@ -546,4 +555,220 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest.getField("last_ts_ms").alias("last_ts_ms"),
         latest.getField("last_value").alias("last_value"),
         F.max("n_updates").alias("n_updates"),
+    )
+
+
+# ------------------------------------------------- wave 2: source surfaces
+
+
+def _atomic_export(build_fn, final_dir: str, done_name: str) -> str:
+    """Build a scratch export once per content fingerprint: ``build_fn``
+    fills a tmp dir, which renames into place atomically (loser of a
+    cross-process race just discards its tmp)."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(final_dir, done_name)):
+        return final_dir
+    tmp = f"{final_dir}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, final_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another pid won the race
+    return final_dir
+
+
+def _multi_format_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events exported once as CSV and JSON-lines (ts as integer epoch-ms
+    so no text timestamp format is in play)."""
+    import glob
+    import os
+    import shutil
+
+    from oem_gateway_spark.suite.streaming_batch import _source_fp
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        "/root/repo/.scratch", f"multifmt-{safe}-{_source_fp(sf_dir)}"
+    )
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+        ev.write.option("header", "false").csv(os.path.join(tmp, "csv"))
+        ev.write.json(os.path.join(tmp, "json"))
+        for sub in ("csv", "json"):
+            for junk in glob.glob(os.path.join(tmp, sub, "_SUCCESS")):
+                os.remove(junk)
+        shutil.rmtree(os.path.join(tmp, "_spark_metadata"), ignore_errors=True)
+
+    return _atomic_export(build, final, "csv")
+
+
+_MF_SCHEMA = (
+    "user_id BIGINT, event_id BIGINT, ts_ms BIGINT,"
+    " event_type STRING, value DOUBLE"
+)
+
+
+@query(
+    "q_multi_format_union",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_mvalue,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+    )
+    SELECT f.fmt, a.n_rows, a.sum_mvalue, a.n_users
+    FROM agg a, (VALUES ('parquet'), ('csv'), ('json')) AS f(fmt)
+    """,
+)
+def q_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-format ingestion parity: the SAME relation read from
+    parquet, CSV, and JSON-lines (exported once), aggregated per format —
+    identical rows per format IS the witness that the text round trips
+    are lossless (doubles survive via shortest-roundtrip formatting;
+    timestamps travel as integer epoch-ms).
+
+    New engine surface: every other query scans parquet; this is the
+    registry's only multi-DataSource plan — a UNION of three different
+    scan operators (columnar parquet, schema-EXPLICIT CSV and JSON text
+    readers) feeding one aggregate.  The 100 TB discipline is in the
+    explicit schemas: schema INFERENCE over text is a full extra pass of
+    the data and non-deterministic under sampling, so landing-zone reads
+    always pin the schema and convert to columnar once (this operator is
+    that conversion's parity check).  The DuckDB oracle recomputes the
+    aggregate from the parquet base three times — any CSV/JSON
+    corruption, precision loss, or row drop breaks the driver hash."""
+    base = _multi_format_dir(spark, sf_dir)
+    import os
+
+    mval = lambda df: F.sum(  # noqa: E731
+        F.floor(F.col("value") * 1000 + 0.5).cast("long")
+    ).alias("sum_mvalue")
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            mval(df),
+            F.countDistinct("user_id").alias("n_users"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_mvalue", "n_users")
+
+    pq_df = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"),
+        "event_type", "value",
+    )
+    csv_df = (
+        spark.read.schema(_MF_SCHEMA)
+        .option("header", "false")
+        .csv(os.path.join(base, "csv"))
+    )
+    js_df = spark.read.schema(_MF_SCHEMA).json(os.path.join(base, "json"))
+    return (
+        agg(pq_df, "parquet")
+        .unionByName(agg(csv_df, "csv"))
+        .unionByName(agg(js_df, "json"))
+    )
+
+
+def _framelog_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The gateway frame log (one 'node qty disc price' line per lineitem
+    row — suite/gateway.py's frame builder) captured as 8 shard files,
+    sliced by line_id % 8."""
+    import glob
+    import os
+    import shutil
+
+    from oem_gateway_spark.suite.streaming_batch import _source_fp
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        "/root/repo/.scratch", f"framelog-{safe}-{_source_fp(sf_dir)}"
+    )
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        frames = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+            F.concat_ws(
+                " ",
+                (F.col("l_suppkey") % 32).cast("int").cast("string"),
+                F.col("l_quantity").cast("string"),
+                F.col("l_discount").cast("string"),
+                F.col("l_extendedprice").cast("string"),
+            ).alias("line"),
+        )
+        for k in range(8):
+            part_tmp = os.path.join(tmp, f"_w{k}")
+            (
+                frames.filter(F.col("line_id") % 8 == k)
+                .select("line")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(part_tmp)
+            )
+            src = glob.glob(os.path.join(part_tmp, "part-*.txt"))[0]
+            shutil.move(src, os.path.join(tmp, f"shard_{k}.log"))
+            shutil.rmtree(part_tmp, ignore_errors=True)
+
+    return _atomic_export(build, final, "shard_7.log")
+
+
+@query(
+    "g_framelog_batch",
+    oracle="""
+    SELECT CAST(l_suppkey % 32 AS INT) AS node,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_price_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def g_framelog_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archived device-log REPLAY through a custom BATCH Python
+    DataSource (sources/framelog_source.py): the gateway frame log —
+    one 'node qty disc price' line per reading, sharded into 8 capture
+    files — reads back via spark.read.format('oem_framelog') with one
+    InputPartition per shard, parses JVM-side (split + typed casts, the
+    P1/P6 chain's column work), and rolls up per node.
+
+    New engine surface: the Spark 4 Python DataSource BATCH API — the
+    registry's serial source witnesses the STREAMING half of that API
+    (sources/serial_source.py, byte-offset replay); this is the archive
+    half, and the only custom-DataSource scan with a full value-hash
+    oracle (the log is generated deterministically from lineitem, so
+    DuckDB recomputes the same rollup from the base table — any line
+    lost, doubled, or mis-tokenized by the reader breaks the hash).
+    Scale: partitions = capture shards (reader parallelism equals the
+    archive's sharding), and the Python hop yields raw LINES only —
+    tokenize/cast stay whole-stage-codegen."""
+    from oem_gateway_spark.sources import framelog_source
+
+    framelog_source.register(spark)
+    logdir = _framelog_dir(spark, sf_dir)
+    raw = spark.read.format("oem_framelog").option("path", logdir).load()
+    t = F.split("line", " ")
+    parsed = raw.select(
+        F.element_at(t, 1).cast("int").alias("node"),
+        F.element_at(t, 2).cast("double").alias("qty"),
+        F.element_at(t, 4).cast("double").alias("price"),
+    )
+    return parsed.groupBy("node").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("qty").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("price") * 100 + 0.5).cast("long")).alias(
+            "sum_price_cents"
+        ),
     )

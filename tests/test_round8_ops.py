@@ -173,3 +173,42 @@ def test_cbo_join_reorder_tree_verification(spark):
     leaves = " | ".join(innermost_join_leaf_names(out))
     assert "cbo_customer" in leaves and "cbo_lineitem" not in leaves
     assert out.count() > 0
+
+
+def test_framelog_reader_partitions_per_shard(spark):
+    """The batch Python DataSource must expose one InputPartition per
+    capture shard (reader parallelism = archive sharding), and the parse
+    work must stay JVM-side (no Python eval node beyond the scan)."""
+    from oem_gateway_spark.sources.framelog_source import FrameLogReader
+    from oem_gateway_spark.suite import REGISTRY
+    from oem_gateway_spark.suite.patterns_extra import _framelog_dir
+
+    logdir = _framelog_dir(spark, SF)
+    parts = FrameLogReader({"path": logdir}).partitions()
+    assert len(parts) == 8
+    out = REGISTRY["g_framelog_batch"].fn(spark, SF)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+def test_framelog_reader_rejects_missing_path(spark):
+    import pytest as _pytest
+
+    from oem_gateway_spark.sources.framelog_source import FrameLogReader
+
+    with _pytest.raises(ValueError):
+        FrameLogReader({})
+    with _pytest.raises(FileNotFoundError):
+        FrameLogReader({"path": "/root/repo/.scratch/nonexistent-xyz"}).partitions()
+
+
+def test_multi_format_union_reads_three_scan_types(spark):
+    """The plan must contain three DIFFERENT scan operators — parquet,
+    csv, json — not three reads of one format."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["q_multi_format_union"].fn(spark, SF)
+    phys = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "scan parquet" in phys
+    assert "scan csv" in phys
+    assert "scan json" in phys

@@ -87,6 +87,8 @@ QUERIES = [
     ("q_binned_theta_join", "pure theta join as 3x-exploded bin equi-join; no nested loop"),
     ("d_dedup_rewrite", "explode -> global keep-first -> positional reassembly"),
     ("u_sql_udf", "SQL UDF inlined: pure codegen aggregate, no Python eval node"),
+    ("q_multi_format_union", "one plan, three scan operators: parquet + explicit-schema csv + json"),
+    ("g_framelog_batch", "batch Python DataSource: partition-per-shard scan, JVM-side parse"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
 ]
 
