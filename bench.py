@@ -273,12 +273,30 @@ def main() -> None:
     # driver artifact + 1; the driver writes BENCH_rNN.json only at round
     # end): future rounds read the full queries dict from here instead of
     # the driver artifact's head-truncated tail (see _comparable_wall).
+    # NEVER SHRINK an existing file's query set (r8 code review): a run
+    # from an early-in-round or stale checkout would otherwise rewrite
+    # the round's recorded set to a subset, and the next round's
+    # comparable wall would silently sum fewer queries — exactly the
+    # partial-sum-reads-as-a-speedup hazard the null contract exists for.
     try:
         cur_round = max(rounds, default=0) + 1
-        with open(
-            os.path.join(here, f"BENCH_full_r{cur_round:02d}.json"), "w"
-        ) as f:
-            f.write(line + "\n")
+        full_path = os.path.join(here, f"BENCH_full_r{cur_round:02d}.json")
+        existing: set[str] = set()
+        try:
+            with open(full_path) as f:
+                existing = set(json.load(f)["queries"])
+        except (OSError, KeyError, ValueError):
+            pass
+        if existing <= timings.keys():
+            with open(full_path, "w") as f:
+                f.write(line + "\n")
+        else:
+            print(
+                f"bench: NOT rewriting {os.path.basename(full_path)} — this "
+                f"run timed {len(timings)} queries but the recorded set has "
+                f"{len(existing - timings.keys())} it lacks (stale checkout?)",
+                file=sys.stderr,
+            )
     except OSError:
         pass  # read-only checkout: the printed line is still the contract
     print(line)

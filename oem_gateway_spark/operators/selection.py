@@ -116,7 +116,10 @@ def exact_order_statistics(
     # (r7 ADVICE): a target that exited via cnt <= collect_cap cannot
     # overflow its share of the cap, so overflow always means a target
     # that can still narrow.
-    for _attempt in range(3):
+    # 4 collect attempts, narrows (8x/64x/512x buckets) only BETWEEN them
+    # — never after the last collect, where the work could not contribute
+    # to an answer (r8 code review).
+    for _attempt in range(4):
         pending = [(i, t) for i, t in enumerate(targets) if t.answer is None]
         if not pending:
             break
@@ -127,7 +130,8 @@ def exact_order_statistics(
         if rows is not None:
             _resolve_pending(pending, rows)
             break
-        _narrow(n_buckets * 8 ** (_attempt + 1))
+        if _attempt < 3:
+            _narrow(n_buckets * 8 ** (_attempt + 1))
     else:
         raise RuntimeError(
             "exact_order_statistics: final collect exceeded its cap after "

@@ -47,8 +47,11 @@ class FrameLogReader(DataSourceReader):
     def read(self, partition: InputPartition):
         with open(partition.value, encoding="utf-8", errors="replace") as fh:
             for ln in fh:
-                ln = ln.rstrip("\n")
-                if ln:
+                # CRLF-captured logs must not leak a trailing \r into the
+                # last field (it would NULL the typed cast downstream),
+                # and whitespace-only keepalive lines are blank too.
+                ln = ln.rstrip("\r\n")
+                if ln.strip():
                     yield (ln,)
 
 

@@ -437,50 +437,14 @@ def _shuffled_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans the whole time range), unlike _ordered_event_replay's
     time-ordered batches.  This is the arrival pattern that makes a
     late event REACH an already-advanced LWW state, which the ordered
-    replay can never produce.  Built once per (sf_dir, content
-    fingerprint); batch order pinned by file mtimes."""
-    import glob
-    import os
-    import shutil
+    replay can never produce.  Shared builder:
+    streaming_batch.event_replay_batches (atomic, fingerprint-cached)."""
+    from oem_gateway_spark.suite.streaming_batch import event_replay_batches
 
-    from oem_gateway_spark.suite.streaming_batch import _source_fp
+    def slicer(frame: DataFrame):
+        return (F.col("event_id") % 4).cast("int")
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 50 == 0)
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_millis("ts").alias("ts_ms"),
-            "value",
-        )
-    )
-    safe = sf_dir.strip("/").replace("/", "_")
-    split_dir = os.path.join(
-        "/root/repo/.scratch", f"upsert-events-{safe}-{_source_fp(sf_dir)}"
-    )
-    if not os.path.exists(os.path.join(split_dir, "zz_3.parquet")):
-        os.makedirs(split_dir, exist_ok=True)
-        for k in range(4):
-            tmp = f"{split_dir}.tmp{os.getpid()}_{k}"
-            (
-                ev.filter(F.col("event_id") % 4 == k)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(split_dir, f"zz_{k}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(dst, (1_700_000_000 + 1000 * k,) * 2)
-    schema = spark.read.parquet(split_dir).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(split_dir)
-    )
+    return event_replay_batches(spark, sf_dir, "upsert-events", slicer)
 
 
 @query(
@@ -561,26 +525,6 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- wave 2: source surfaces
 
 
-def _atomic_export(build_fn, final_dir: str, done_name: str) -> str:
-    """Build a scratch export once per content fingerprint: ``build_fn``
-    fills a tmp dir, which renames into place atomically (loser of a
-    cross-process race just discards its tmp)."""
-    import os
-    import shutil
-
-    if os.path.exists(os.path.join(final_dir, done_name)):
-        return final_dir
-    tmp = f"{final_dir}.tmp{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    build_fn(tmp)
-    try:
-        os.rename(tmp, final_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another pid won the race
-    return final_dir
-
-
 def _multi_format_dir(spark: SparkSession, sf_dir: str) -> str:
     """events exported once as CSV and JSON-lines (ts as integer epoch-ms
     so no text timestamp format is in play)."""
@@ -588,7 +532,10 @@ def _multi_format_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    from oem_gateway_spark.suite.streaming_batch import _source_fp
+    from oem_gateway_spark.suite.streaming_batch import (
+        _source_fp,
+        atomic_export as _atomic_export,
+    )
 
     safe = sf_dir.strip("/").replace("/", "_")
     final = os.path.join(
@@ -689,11 +636,18 @@ def _framelog_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    from oem_gateway_spark.suite.streaming_batch import _source_fp
+    from oem_gateway_spark.suite.streaming_batch import (
+        _source_fp,
+        atomic_export as _atomic_export,
+    )
 
     safe = sf_dir.strip("/").replace("/", "_")
+    # Fingerprint LINEITEM — the table this replica derives from (the
+    # r7/r8 code-review bug class: fingerprinting a different table
+    # leaves a stale replica live when only the source regenerates).
     final = os.path.join(
-        "/root/repo/.scratch", f"framelog-{safe}-{_source_fp(sf_dir)}"
+        "/root/repo/.scratch",
+        f"framelog-{safe}-{_source_fp(sf_dir, table='lineitem')}",
     )
 
     def build(tmp: str) -> None:

@@ -375,55 +375,17 @@ def _ordered_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The user_id%50 event slice as FOUR time-ordered micro-batches
     (file mtimes force batch order) — the replay harness every custom
     stateful twin in this module streams from (state must carry across
-    batch boundaries to match the batch oracle).  Built once per
-    (sf_dir, content fingerprint) and shared by stream_ewma and
-    stream_topk_admission; the dir name keeps the original 'ewma' tag
-    for cache compatibility."""
-    import glob
-    import os
-    import shutil
+    batch boundaries to match the batch oracle).  Shared builder:
+    streaming_batch.event_replay_batches (r8 code review extracted it
+    from two hand-rolled copies); the dir tag keeps the original
+    'ewma' name so existing fingerprinted replicas stay valid."""
+    from oem_gateway_spark.suite.streaming_batch import event_replay_batches
 
-    from oem_gateway_spark.suite.streaming_batch import _source_fp
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 50 == 0)
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_millis("ts").alias("ts_ms"),
-            "value",
-        )
-    )
-    safe = sf_dir.strip("/").replace("/", "_")
-    split_dir = os.path.join(
-        "/root/repo/.scratch", f"ewma-events-{safe}-{_source_fp(sf_dir)}"
-    )
-    if not os.path.exists(os.path.join(split_dir, "zz_3.parquet")):
-        os.makedirs(split_dir, exist_ok=True)
+    def slicer(frame: DataFrame):
         w = Window.orderBy("ts_ms", "event_id")
-        sliced = ev.withColumn("_slice", F.ntile(4).over(w) - 1)
-        for k in range(4):
-            tmp = split_dir + f".tmp{k}"
-            (
-                sliced.filter(F.col("_slice") == k)
-                .drop("_slice")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(split_dir, f"zz_{k}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(dst, (1_700_000_000 + 1000 * k,) * 2)
-    schema = spark.read.parquet(split_dir).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(split_dir)
-    )
+        return F.ntile(4).over(w) - 1
+
+    return event_replay_batches(spark, sf_dir, "ewma-events", slicer)
 
 
 @query(

@@ -66,6 +66,84 @@ def _source_fp(sf_dir: str, table: str = "events") -> str:
     return f"{int(st.st_mtime)}-{st.st_size}"
 
 
+def atomic_export(build_fn, final_dir: str, done_name: str) -> str:
+    """Build a scratch export once per content fingerprint: ``build_fn``
+    fills a tmp dir, which renames into place atomically (the loser of a
+    cross-process race just discards its tmp).  ``done_name`` is the
+    last artifact ``build_fn`` creates — its presence marks the dir
+    complete, so a partially-built dir from a crashed process is never
+    trusted (the tmp+rename means one can't exist under ``final_dir``
+    anyway)."""
+    import shutil
+
+    if os.path.exists(os.path.join(final_dir, done_name)):
+        return final_dir
+    tmp = f"{final_dir}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, final_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another pid won the race
+    return final_dir
+
+
+def event_replay_batches(spark: SparkSession, sf_dir: str, tag: str, slicer):
+    """Shared 4-micro-batch replay builder for the custom stateful
+    twins: the user_id%50 event slice written as four single-file
+    parquet batches whose mtimes pin the replay order
+    (maxFilesPerTrigger=1).  ``slicer(frame) -> Column`` assigns each
+    row its batch id 0..3 — ntile over event time for the IN-ORDER
+    replays (stream_ewma family), ``event_id % 4`` for the
+    OUT-OF-ORDER LWW replay (stream_upsert_latest).  Built once per
+    (sf_dir, content fingerprint) under .scratch via atomic_export;
+    extracted from the two hand-rolled copies by the r8 code review."""
+    import glob
+    import shutil
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+        )
+    )
+    safe = sf_dir.strip("/").replace("/", "_")
+    split_dir = os.path.join(
+        "/root/repo/.scratch", f"{tag}-{safe}-{_source_fp(sf_dir)}"
+    )
+
+    def build(tmp: str) -> None:
+        sliced = ev.withColumn("_slice", slicer(ev))
+        for k in range(4):
+            wtmp = os.path.join(tmp, f"_w{k}")
+            (
+                sliced.filter(F.col("_slice") == k)
+                .drop("_slice")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(wtmp)
+            )
+            part = glob.glob(os.path.join(wtmp, "part-*.parquet"))[0]
+            dst = os.path.join(tmp, f"zz_{k}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(wtmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + 1000 * k,) * 2)
+
+    atomic_export(build, split_dir, "zz_3.parquet")
+    schema = spark.read.parquet(split_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(split_dir)
+    )
+
+
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source wants a DIRECTORY; testdata ships single
     parquet files.  Build (once) a scratch dir symlinking the events file."""
