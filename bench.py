@@ -117,6 +117,7 @@ HEADLINE = [
     "stream_upsert_latest",
     "q_multi_format_union",
     "g_framelog_batch",
+    "q_hierarchy_resolve",
 ]
 
 

@@ -726,3 +726,73 @@ def g_framelog_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price_cents"
         ),
     )
+
+
+# --------------------------------------------------------- q_hierarchy_resolve
+
+
+@query(
+    "q_hierarchy_resolve",
+    oracle="""
+    WITH RECURSIVE r(node, cur, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part
+      UNION ALL
+      SELECT node, (cur - 4) // 4, depth + 1 FROM r WHERE cur >= 4
+    )
+    SELECT node, CAST(cur AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth
+    FROM r WHERE cur < 4
+    """,
+)
+def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by POINTER DOUBLING: every node of a 4-ary
+    forest (parent(k) = (k-4) div 4 over the contiguous part keys;
+    roots 0..3) is resolved to its (root, depth) in O(log depth)
+    self-joins — each round composes the ancestor mapping WITH ITSELF,
+    doubling the hop length (1, 2, 4, ... edges).
+
+    New plan shape: LOGARITHMIC-ROUND iteration.  The registry's other
+    iterative operators all advance LINEARLY — q_reachability grows a
+    BFS frontier one hop per round, q_shortest_path_bounded relaxes one
+    edge length per round, d_pagerank power-iterates — so a depth-d
+    chain costs d shuffles.  Pointer doubling is the parallel
+    list-ranking / path-compression scheme: log2(d) shuffles of the
+    (node, anc, depth) table, each a self-equi-join on the ancestor
+    key.  At 100 TB this is THE way to flatten deep hierarchies
+    (org charts, BOM trees, file systems, thread parents): depth 10^6
+    chains resolve in 20 rounds instead of 10^6.  Roots compose as
+    identity (anc=self, depth+=0), so the fixed point is exact;
+    convergence is a driver-side scalar (sum of depths stops growing —
+    the graph.py convergence-scalar discipline), bounded by
+    ceil(log2(max_depth)) + 1 rounds.  DuckDB oracle: the same forest
+    walked with a recursive CTE.  Pure integer arithmetic."""
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("node")
+    )
+    is_root = F.col("node") < 4
+    state = parts.select(
+        "node",
+        F.when(is_root, F.col("node"))
+        .otherwise(F.expr("(node - 4) DIV 4"))
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+    total = state.agg(F.sum("depth")).first()[0]
+    for _ in range(40):  # 2^40 depth bound; real exit is the fixed point
+        nxt = (
+            state.alias("a")
+            .join(state.alias("b"), F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)  # cut the doubling lineage
+        )
+        new_total = nxt.agg(F.sum("depth")).first()[0]
+        state = nxt
+        if new_total == total:  # every ancestor is a root (identity step)
+            break
+        total = new_total
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("depth").alias("depth")
+    )

@@ -212,3 +212,23 @@ def test_multi_format_union_reads_three_scan_types(spark):
     assert "scan parquet" in phys
     assert "scan csv" in phys
     assert "scan json" in phys
+
+
+def test_hierarchy_resolve_depths_and_roots(spark):
+    """Pointer doubling must resolve every node to a root 0..3 with the
+    analytic 4-ary-forest depth: depth(k) = number of (k-4) DIV 4 steps
+    to reach a key < 4."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["q_hierarchy_resolve"].fn(spark, SF).toPandas()
+    assert (out["root"] < 4).all()
+
+    def depth(k: int) -> int:
+        d = 0
+        while k >= 4:
+            k = (k - 4) // 4
+            d += 1
+        return d
+
+    got = dict(zip(out["node"], out["depth"]))
+    assert all(got[k] == depth(k) for k in got)
