@@ -111,6 +111,11 @@ PROBES = [
                                 # replica segments dedup to the x1 corpus, so
                                 # the window input grows k-fold, kept output
                                 # stays ~x1 — must stay linear
+    "q_hierarchy_resolve",      # pointer doubling: part replicas shift keys
+                                # k*n_part, so the forest gains nodes AND one
+                                # extra level every 4x — rounds grow as
+                                # ceil(log2 depth), i.e. +1 doubling per 4x;
+                                # per-round cost linear in nodes
 ]
 
 
