@@ -873,8 +873,12 @@ def upsert_latest_stream(
     (session_assign), bounded ordered collection (topk), counters
     (running_stats).  At 100 TB this is Structured Streaming's
     canonical dedup-to-latest materialization: state is keys x O(1),
-    partitioned by the grouping key, with RocksDB state store + event
-    -time TTL (timeout_minutes) bounding the working set.
+    partitioned by the grouping key, with RocksDB state store +
+    PROCESSING-TIME TTL (timeout_minutes maps to
+    GroupStateTimeout.ProcessingTimeTimeout — wall-clock expiry, NOT
+    event-time; a slow replay with a timeout set can expire live keys
+    mid-stream, which is why the registry twin passes None) bounding
+    the working set.
     """
     from collections.abc import Iterator
 

@@ -556,8 +556,14 @@ def _multi_format_dir(spark: SparkSession, sf_dir: str) -> str:
             for junk in glob.glob(os.path.join(tmp, sub, "_SUCCESS")):
                 os.remove(junk)
         shutil.rmtree(os.path.join(tmp, "_spark_metadata"), ignore_errors=True)
+        # Sentinel written LAST — atomic_export's done_name contract is
+        # "the last artifact build() creates"; csv is the FIRST (r8
+        # ADVICE: a partial dir with csv/ but no json/ would otherwise
+        # read as complete).
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok\n")
 
-    return _atomic_export(build, final, "csv")
+    return _atomic_export(build, final, "_DONE")
 
 
 _MF_SCHEMA = (

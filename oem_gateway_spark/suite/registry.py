@@ -34,6 +34,19 @@ _log = logging.getLogger(__name__)
 # means the witness frame was never executed while its confs held.
 # Violations are logged at ERROR and recorded here; the full-registry oracle
 # replay asserts the list stays empty.
+#
+# KNOWN FALSE-NEGATIVE WINDOW (r8 ADVICE): setJobGroup is thread-ambient and
+# stays set until the next build clears it, so ANY Spark action the same
+# thread runs between the witness build and the next registry build (another
+# operator's eager count, a test's unrelated collect) lands in the witness's
+# group and satisfies the check even if the witness frame itself never ran.
+# The guard therefore catches the common failure (build -> immediately build
+# the next query with zero actions in between) but not an interleaved
+# unrelated action.  A per-frame check would need to key on the witness
+# DataFrame's own queryExecution metrics / a listener, which costs a
+# listener registration per witness; accepted as a documented gap since the
+# guard is a belt on top of the plan-shape asserts that actually verify the
+# witnessed behavior.
 
 CONF_WITNESS_VIOLATIONS: list[str] = []
 _pending_witness: dict | None = None

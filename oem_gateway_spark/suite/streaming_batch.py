@@ -72,8 +72,13 @@ def atomic_export(build_fn, final_dir: str, done_name: str) -> str:
     cross-process race just discards its tmp).  ``done_name`` is the
     last artifact ``build_fn`` creates — its presence marks the dir
     complete, so a partially-built dir from a crashed process is never
-    trusted (the tmp+rename means one can't exist under ``final_dir``
-    anyway)."""
+    trusted.  The tmp+rename protocol can't leave a partial dir at
+    ``final_dir`` itself, but an OLDER writer (the pre-r8 in-place one)
+    or a foreign process could have — so a rename failure is only
+    trusted as "another pid won the race" if the done marker is
+    actually there; otherwise the stale dir is evicted and the rename
+    retried (r8 ADVICE: a silently-trusted ENOTEMPTY fed an incomplete
+    replay forever)."""
     import shutil
 
     if os.path.exists(os.path.join(final_dir, done_name)):
@@ -85,7 +90,14 @@ def atomic_export(build_fn, final_dir: str, done_name: str) -> str:
     try:
         os.rename(tmp, final_dir)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another pid won the race
+        if os.path.exists(os.path.join(final_dir, done_name)):
+            shutil.rmtree(tmp, ignore_errors=True)  # another pid won the race
+        else:
+            # Stale/partial dir at final_dir that this code did not
+            # complete: evict it and retry once; re-raise on failure
+            # rather than trust an incomplete export.
+            shutil.rmtree(final_dir, ignore_errors=True)
+            os.rename(tmp, final_dir)
     return final_dir
 
 
