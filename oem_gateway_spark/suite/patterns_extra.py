@@ -447,9 +447,11 @@ def _shuffled_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_replay_batches(spark, sf_dir, "upsert-events", slicer)
 
 
-@query(
-    "stream_upsert_latest",
-    oracle="""
+# Shared by stream_upsert_latest and stream_upsert_rocksdb
+# (statestore_extra.py): same pipeline, different state-store provider —
+# the provider must be invisible in the results, so the oracle is
+# literally the same string.
+UPSERT_LWW_ORACLE = """
     WITH seq AS (
       SELECT user_id, event_id,
              CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
@@ -476,8 +478,41 @@ def _shuffled_event_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
            value AS last_value,
            CAST(n_updates AS BIGINT) AS n_updates
     FROM final WHERE rn = 1
-    """,
-)
+    """
+
+
+def _upsert_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LWW upsert changelog as an unstarted streaming DataFrame —
+    shared by the default-provider and RocksDB-provider twins."""
+    from oem_gateway_spark.streaming import state as ST
+
+    stream = _shuffled_event_replay(spark, sf_dir)
+    return ST.upsert_latest_stream(
+        stream,
+        key_col="user_id",
+        value_col="value",
+        ts_ms_col="ts_ms",
+        id_col="event_id",
+        timeout_minutes=None,
+    )
+
+
+def _upsert_final_state(log: DataFrame) -> DataFrame:
+    """Collapse the accumulated per-batch changelog to the final state
+    per key (max-n_updates emission; n_updates is strictly increasing
+    across a key's emissions — emit-on-change)."""
+    latest = F.max_by(
+        F.struct("last_event_id", "last_ts_ms", "last_value"), "n_updates"
+    )
+    return log.groupBy("node").agg(
+        latest.getField("last_event_id").alias("last_event_id"),
+        latest.getField("last_ts_ms").alias("last_ts_ms"),
+        latest.getField("last_value").alias("last_value"),
+        F.max("n_updates").alias("n_updates"),
+    )
+
+
+@query("stream_upsert_latest", oracle=UPSERT_LWW_ORACLE)
 def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stateful LAST-WRITE-WINS upsert (applyInPandasWithState)
     over an OUT-OF-ORDER replay: the telemetry streams as four
@@ -498,28 +533,11 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates the per-batch changelog; the final state per key is
     the max-n_updates emission (n_updates is strictly increasing across
     a key's emissions — emit-on-change)."""
-    from oem_gateway_spark.streaming import state as ST
     from oem_gateway_spark.suite.streaming_batch import _run_to_table
 
-    stream = _shuffled_event_replay(spark, sf_dir)
-    out = ST.upsert_latest_stream(
-        stream,
-        key_col="user_id",
-        value_col="value",
-        ts_ms_col="ts_ms",
-        id_col="event_id",
-        timeout_minutes=None,
-    )
+    out = _upsert_changelog_stream(spark, sf_dir)
     log = _run_to_table(out, mode="update")
-    latest = F.max_by(
-        F.struct("last_event_id", "last_ts_ms", "last_value"), "n_updates"
-    )
-    return log.groupBy("node").agg(
-        latest.getField("last_event_id").alias("last_event_id"),
-        latest.getField("last_ts_ms").alias("last_ts_ms"),
-        latest.getField("last_value").alias("last_value"),
-        F.max("n_updates").alias("n_updates"),
-    )
+    return _upsert_final_state(log)
 
 
 # ------------------------------------------------- wave 2: source surfaces
@@ -765,40 +783,62 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, anc, depth) table, each a self-equi-join on the ancestor
     key.  At 100 TB this is THE way to flatten deep hierarchies
     (org charts, BOM trees, file systems, thread parents): depth 10^6
-    chains resolve in 20 rounds instead of 10^6.  Roots compose as
-    identity (anc=self, depth+=0), so the fixed point is exact;
-    convergence is a driver-side scalar (sum of depths stops growing —
-    the graph.py convergence-scalar discipline), bounded by
+    chains resolve in 20 rounds instead of 10^6.
+
+    PROBE-SIDE FILTERING (r8 VERDICT): rows whose ancestor pointer has
+    already reached a root compose as identity — re-joining them every
+    round is pure shuffle waste, and in a shallow-skewed forest (most
+    real hierarchies) the resolved MAJORITY would re-shuffle log(d)
+    times.  So the state carries a ``done`` flag (= anc is a root),
+    resolved rows move to a frozen accumulator, and only the unresolved
+    remainder is the probe side of each self-join; the BUILD side stays
+    the full map (an unresolved node's ancestor may itself be resolved,
+    in which case the compose jumps straight to the root).  Convergence
+    is the unresolved count hitting zero — bounded by
     ceil(log2(max_depth)) + 1 rounds.  DuckDB oracle: the same forest
     walked with a recursive CTE.  Pure integer arithmetic."""
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("long").alias("node")
     )
     is_root = F.col("node") < 4
+    parent = F.expr("(node - 4) DIV 4")
     state = parts.select(
         "node",
-        F.when(is_root, F.col("node"))
-        .otherwise(F.expr("(node - 4) DIV 4"))
-        .alias("anc"),
+        F.when(is_root, F.col("node")).otherwise(parent).alias("anc"),
         F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
+        # done = anc is a root (roots of this forest are keys 0..3);
+        # root rows point at themselves, so they are born done.
+        F.when(is_root, F.lit(True))
+        .otherwise(parent < 4)
+        .alias("done"),
     ).localCheckpoint(eager=True)
-    total = state.agg(F.sum("depth")).first()[0]
-    for _ in range(40):  # 2^40 depth bound; real exit is the fixed point
+    resolved_parts = [state.filter("done")]
+    unresolved = state.filter("NOT done").localCheckpoint(eager=True)
+    for _ in range(40):  # 2^40 depth bound; real exit is unresolved == 0
+        if unresolved.isEmpty():
+            break
+        # Full map = frozen accumulator pieces + the live remainder;
+        # every piece is a checkpoint, so the union re-reads blocks,
+        # never recomputes lineage.
+        build = unresolved
+        for p in resolved_parts:
+            build = build.unionByName(p)
         nxt = (
-            state.alias("a")
-            .join(state.alias("b"), F.col("a.anc") == F.col("b.node"))
+            unresolved.alias("a")
+            .join(build.alias("b"), F.col("a.anc") == F.col("b.node"))
             .select(
                 F.col("a.node").alias("node"),
                 F.col("b.anc").alias("anc"),
                 (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+                F.col("b.done").alias("done"),
             )
             .localCheckpoint(eager=True)  # cut the doubling lineage
         )
-        new_total = nxt.agg(F.sum("depth")).first()[0]
-        state = nxt
-        if new_total == total:  # every ancestor is a root (identity step)
-            break
-        total = new_total
-    return state.select(
+        resolved_parts.append(nxt.filter("done"))
+        unresolved = nxt.filter("NOT done")
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
         "node", F.col("anc").alias("root"), F.col("depth").alias("depth")
     )

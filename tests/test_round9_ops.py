@@ -44,6 +44,39 @@ def test_atomic_export_evicts_stale_partial_dir(tmp_path):
     assert not os.path.exists(os.path.join(final, "partial.artifact"))
 
 
+def test_rocksdb_provider_witnessed_and_conf_restored(spark):
+    """stream_upsert_rocksdb must (a) actually run on the RocksDB state
+    store — rocksdb* custom metrics in the query progress are the
+    proof; the default HDFS provider reports loadedMapCache* keys —
+    (b) restore the provider conf afterwards, and (c) produce the same
+    final state as the default-provider twin (provider choice is an
+    execution detail, never semantics)."""
+    from oem_gateway_spark.suite import REGISTRY, statestore_extra
+
+    SF = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+
+    rocks = REGISTRY["stream_upsert_rocksdb"].fn(spark, SF).toPandas()
+    metrics = dict(statestore_extra.LAST_STATE_METRICS)
+    assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before  # conf restored (no provider leak)
+
+    base = REGISTRY["stream_upsert_latest"].fn(spark, SF).toPandas()
+    key_cols = ["node"]
+    r = rocks.sort_values(key_cols).reset_index(drop=True)
+    b = base.sort_values(key_cols).reset_index(drop=True)
+    assert r.equals(b)
+
+
 def test_atomic_export_trusts_concurrent_winner(tmp_path, monkeypatch):
     """Rename failure WITH the done marker present is the legitimate
     lost-race case: the winner's dir must be left untouched and the
