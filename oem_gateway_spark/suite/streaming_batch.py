@@ -180,19 +180,40 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def _run_to_table(result: DataFrame, mode: str) -> DataFrame:
+def _run_to_table(
+    result: DataFrame, mode: str, shuffle_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the materialized table."""
-    name = f"stream_result_{os.getpid()}_{next(_SEQ)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    memory sink; return the materialized table.
+
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` to
+    this one streaming query (set before start, restored after
+    awaitTermination — the conf is captured into the NEW checkpoint at
+    stream start, so the scope is exact).  The stateful twins replay
+    kilobytes per micro-batch, but the state-store machinery costs per
+    PARTITION per batch — a stream-stream join runs 4 state stores x
+    partitions x batches of open/commit tasks, which at the session's
+    32 partitions is the whole wall (the r8 sweep's 10 s
+    threshold-straddling canary).  Results are partition-invariant;
+    only the twins whose wall is state-machinery-bound pass this."""
     spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key) if shuffle_partitions is not None else None
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        name = f"stream_result_{os.getpid()}_{next(_SEQ)}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
     return spark.table(name)
 
 
@@ -564,7 +585,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts"))
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "purchase_id", "click_id")
-    return _run_to_table(joined, mode="append")
+    return _run_to_table(joined, mode="append", shuffle_partitions=8)
 
 
 def _stream_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
@@ -677,7 +698,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     ).select("user_id", "purchase_id", "click_id")
-    table = _run_to_table(joined, mode="append")
+    table = _run_to_table(joined, mode="append", shuffle_partitions=8)
     return table.filter(F.col("user_id") >= 0)
 
 
