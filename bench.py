@@ -118,6 +118,8 @@ HEADLINE = [
     "q_multi_format_union",
     "g_framelog_batch",
     "q_hierarchy_resolve",
+    # round-9 addition
+    "stream_upsert_rocksdb",
 ]
 
 

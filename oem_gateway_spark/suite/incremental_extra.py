@@ -485,7 +485,7 @@ def stream_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         timeout_minutes=None,
     )
-    return _run_to_table(out, mode="update")
+    return _run_to_table(out, mode="update", shuffle_partitions=8)
 
 
 # ------------------------------------------------- wave 2: round-7 additions

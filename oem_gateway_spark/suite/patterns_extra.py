@@ -536,7 +536,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oem_gateway_spark.suite.streaming_batch import _run_to_table
 
     out = _upsert_changelog_stream(spark, sf_dir)
-    log = _run_to_table(out, mode="update")
+    log = _run_to_table(out, mode="update", shuffle_partitions=8)
     return _upsert_final_state(log)
 
 

@@ -431,7 +431,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.select(
         "node", "event_id", F.round("ewma", 6).alias("ewma")
     )
-    return _run_to_table(result, mode="update")
+    return _run_to_table(result, mode="update", shuffle_partitions=8)
 
 
 _TOPK_K = 5
@@ -489,4 +489,4 @@ def stream_topk_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         timeout_minutes=None,
     )
-    return _run_to_table(out, mode="update")
+    return _run_to_table(out, mode="update", shuffle_partitions=8)

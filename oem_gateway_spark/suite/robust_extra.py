@@ -125,7 +125,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = normalize_event_ts(stream)
     result = ST.tumbling_counts(stream, watermark="2 hours")
-    table = _run_to_table(result, mode="append")
+    table = _run_to_table(result, mode="append", shuffle_partitions=8)
     return table.filter(
         ~F.col("event_type").isin("__sentinel__", "__filler__")
     )

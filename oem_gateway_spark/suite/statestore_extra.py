@@ -69,6 +69,14 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         prev = None
     spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    # Same state-partition scoping as the other stateful twins
+    # (streaming_batch._run_to_table): the replay is kilobytes per
+    # batch, but RocksDB opens a NATIVE store per partition per batch
+    # and uploads a snapshot per commit — at the session's 32
+    # partitions that machinery was the whole 21 s wall (r9 sweep).
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, "8")
     try:
         out = _upsert_changelog_stream(spark, sf_dir)
         name = f"rocksdb_upsert_{os.getpid()}_{next(_SEQ)}"
@@ -87,6 +95,7 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             LAST_STATE_METRICS.update(ops[0].get("customMetrics") or {})
         log = spark.table(name)
     finally:
+        spark.conf.set(part_key, prev_parts)
         if prev is None:
             spark.conf.unset(_PROVIDER_KEY)
         else:

@@ -328,7 +328,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    return _run_to_table(out, mode="append")
+    return _run_to_table(out, mode="append", shuffle_partitions=8)
 
 
 @query(
@@ -785,4 +785,4 @@ def stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.select(
         "node", "event_id", "ts_ms", F.round("filled", 4).alias("filled")
     )
-    return _run_to_table(result, mode="update")
+    return _run_to_table(result, mode="update", shuffle_partitions=8)
