@@ -118,8 +118,10 @@ HEADLINE = [
     "q_multi_format_union",
     "g_framelog_batch",
     "q_hierarchy_resolve",
-    # round-9 addition
+    # round-9 additions
     "stream_upsert_rocksdb",
+    "q_recursive_cte",
+    "q_variant_extract",
 ]
 
 

@@ -77,6 +77,42 @@ def test_rocksdb_provider_witnessed_and_conf_restored(spark):
     assert r.equals(b)
 
 
+def test_recursive_cte_matches_pointer_doubling(spark):
+    """q_recursive_cte and q_hierarchy_resolve flatten the SAME 4-ary
+    forest by different execution schemes (engine-managed UnionLoop vs
+    driver-looped pointer doubling) — their row sets must be identical,
+    and the declarative plan must actually contain the loop operator
+    (engine recursion, not an unrolled union)."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    rec = REGISTRY["q_recursive_cte"].fn(spark, SF)
+    plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan, plan[:400]
+    a = rec.toPandas().sort_values("node").reset_index(drop=True)
+    b = (
+        REGISTRY["q_hierarchy_resolve"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert a[["node", "root", "depth"]].astype("int64").equals(
+        b[["node", "root", "depth"]].astype("int64")
+    )
+
+
+def test_variant_missing_path_is_null(spark):
+    """variant_get on an absent path must be NULL for every row (the
+    n_missing_path column equals n_orders in each group) — the
+    missing-path semantics the oracle compare relies on."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["q_variant_extract"].fn(spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert (pdf["n_missing_path"] == pdf["n_orders"]).all()
+
+
 def test_atomic_export_trusts_concurrent_winner(tmp_path, monkeypatch):
     """Rename failure WITH the done marker present is the legitimate
     lost-race case: the winner's dir must be left untouched and the

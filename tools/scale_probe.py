@@ -116,6 +116,15 @@ PROBES = [
                                 # extra level every 4x — rounds grow as
                                 # ceil(log2 depth), i.e. +1 doubling per 4x;
                                 # per-round cost linear in nodes
+    # round-9 additions:
+    "q_recursive_cte",          # engine-managed recursion (UnionLoop): same
+                                # forest as q_hierarchy_resolve but ONE parent
+                                # hop per round — rounds grow as depth
+                                # (+log4 k), per-round cost linear; the
+                                # declarative-vs-pointer-doubling tradeoff
+                                # measured side by side
+    "q_variant_extract",        # parse_json -> variant -> typed get: pure
+                                # map + agg, must stay linear in rows
 ]
 
 
