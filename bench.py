@@ -121,7 +121,6 @@ HEADLINE = [
     # round-9 additions
     "stream_upsert_rocksdb",
     "q_recursive_cte",
-    "q_variant_extract",
 ]
 
 

@@ -102,17 +102,6 @@ def test_recursive_cte_matches_pointer_doubling(spark):
     )
 
 
-def test_variant_missing_path_is_null(spark):
-    """variant_get on an absent path must be NULL for every row (the
-    n_missing_path column equals n_orders in each group) — the
-    missing-path semantics the oracle compare relies on."""
-    from oem_gateway_spark.suite import REGISTRY
-
-    out = REGISTRY["q_variant_extract"].fn(spark, "/root/testdata/sf0.001")
-    pdf = out.toPandas()
-    assert (pdf["n_missing_path"] == pdf["n_orders"]).all()
-
-
 def test_atomic_export_trusts_concurrent_winner(tmp_path, monkeypatch):
     """Rename failure WITH the done marker present is the legitimate
     lost-race case: the winner's dir must be left untouched and the

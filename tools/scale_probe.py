@@ -123,8 +123,6 @@ PROBES = [
                                 # (+log4 k), per-round cost linear; the
                                 # declarative-vs-pointer-doubling tradeoff
                                 # measured side by side
-    "q_variant_extract",        # parse_json -> variant -> typed get: pure
-                                # map + agg, must stay linear in rows
 ]
 
 
