@@ -52,6 +52,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.streaming.schemaInference": "false",
+    # WITH RECURSIVE safety valve: Spark caps total rows emitted across
+    # recursion at 1M by default, which a modest hierarchy exceeds
+    # (sum over levels ~ nodes x avg depth; the r9 x8 scale probe hit
+    # it at 160k nodes x depth ~9).  100M keeps the runaway guard while
+    # letting real hierarchies resolve; hierarchies too big for ANY row
+    # limit belong on the pointer-doubling path (q_hierarchy_resolve),
+    # which has no such cap.  Level limit stays at Spark's 100.
+    "spark.sql.cteRecursionRowLimit": str(100_000_000),
 }
 
 
@@ -76,6 +84,7 @@ RUNTIME_CONF_KEYS: tuple[str, ...] = (
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
     "spark.sql.cbo.enabled",
     "spark.sql.cbo.joinReorder.enabled",
+    "spark.sql.cteRecursionRowLimit",
 )
 
 

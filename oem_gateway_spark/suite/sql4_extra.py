@@ -54,9 +54,14 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-d forest costs d rounds) where q_hierarchy_resolve's
     pointer doubling costs ceil(log2 d) — for deep hierarchies the
     manual scheme wins asymptotically, for the shallow-forest common
-    case the declarative one is simpler and round-count-equal.  The
-    two queries share the forest AND the oracle, so the driver
-    hash-proves the engine's recursion against DuckDB's and
+    case the declarative one is simpler and round-count-equal.  A
+    second scale seam, found by the r9 x8 probe: Spark caps TOTAL rows
+    emitted across recursion (spark.sql.cteRecursionRowLimit, default
+    1M — ~ nodes x avg depth, hit at 160k nodes x depth 9), so the
+    engine default raises it to 100M (session.py, runtime-asserted);
+    hierarchies beyond any row limit belong on the pointer-doubling
+    path.  The two queries share the forest AND the oracle, so the
+    driver hash-proves the engine's recursion against DuckDB's and
     tests/test_round9_ops.py pins row-set equality between the two
     executions.  Pure integer arithmetic."""
     load_table(spark, sf_dir, "part").select("p_partkey").createOrReplaceTempView(
