@@ -836,6 +836,17 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         resolved_parts.append(nxt.filter("done"))
         unresolved = nxt.filter("NOT done")
+    else:
+        # 2^40-depth bound exhausted with rows still unresolved: the old
+        # fixed-point formulation returned them as-is; the accumulator
+        # split would silently DROP them.  Impossible for any real
+        # forest, so fail loudly rather than emit a partial answer.
+        if not unresolved.isEmpty():
+            raise RuntimeError(
+                "q_hierarchy_resolve: unresolved nodes after 40 doubling "
+                "rounds (depth > 2^40?) — refusing to return a partial "
+                "result"
+            )
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
