@@ -51,6 +51,12 @@ QUERIES = [
     # integer-cast quantities — results must be identical to the plain
     # join at any layout (the filter only changes I/O, never rows)
     "q_bloom_prune",
+    # round 9: the pointer-doubling accumulator split (resolved rows
+    # freeze per round) must not depend on which partition resolved a
+    # node first — pure integer (root, depth) at any layout; the
+    # recursive CTE's UnionLoop must likewise be layout-free
+    "q_hierarchy_resolve",
+    "q_recursive_cte",
 ]
 
 
