@@ -102,6 +102,30 @@ def test_recursive_cte_matches_pointer_doubling(spark):
     )
 
 
+def test_run_to_table_restores_partitions_on_failure(spark, tmp_path):
+    """The shuffle_partitions scope must restore the session conf even
+    when the streaming query dies mid-run (the finally path) — a leak
+    here would silently shrink every later batch plan's parallelism."""
+    import pyspark.sql.functions as F
+
+    from oem_gateway_spark.suite.streaming_batch import _run_to_table
+
+    src = str(tmp_path / "rows")
+    spark.range(10).write.parquet(src)
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    stream = (
+        spark.readStream.schema("id long").parquet(src)
+        # integral DIV 0 raises DIVIDE_BY_ZERO under ANSI at runtime
+        # (float / 0 would just be Infinity): the first micro-batch fails
+        .select(F.expr("id DIV 0").alias("boom"))
+        .groupBy("boom").count()
+    )
+    with pytest.raises(Exception):
+        _run_to_table(stream, mode="complete", shuffle_partitions=5)
+    assert spark.conf.get(key) == before
+
+
 def test_atomic_export_trusts_concurrent_winner(tmp_path, monkeypatch):
     """Rename failure WITH the done marker present is the legitimate
     lost-race case: the winner's dir must be left untouched and the
