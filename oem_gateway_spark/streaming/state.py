@@ -849,6 +849,7 @@ def upsert_latest_stream(
     ts_ms_col: str = "ts_ms",
     id_col: str = "event_id",
     timeout_minutes: int | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming LAST-WRITE-WINS upsert store: per key, keep the reading
     with the greatest event time seen SO FAR — the CDC-apply /
@@ -968,7 +969,12 @@ def upsert_latest_stream(
             update,
             outputStructType=out_schema,
             stateStructType=state_schema,
-            outputMode="update",
+            # The emitted row set is UDF-determined either way; the operator
+            # mode only constrains which QUERY output modes Spark admits —
+            # "update" for the memory-sink twins, "append" for the
+            # exactly-once FILE sink the kill/resume witness rides
+            # (FileStreamSink admits append only).
+            outputMode=output_mode,
             timeoutConf=(
                 GroupStateTimeout.NoTimeout
                 if timeout_minutes is None

@@ -481,9 +481,12 @@ UPSERT_LWW_ORACLE = """
     """
 
 
-def _upsert_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _upsert_changelog_stream(
+    spark: SparkSession, sf_dir: str, output_mode: str = "update"
+) -> DataFrame:
     """The LWW upsert changelog as an unstarted streaming DataFrame —
-    shared by the default-provider and RocksDB-provider twins."""
+    shared by the default-provider, RocksDB-provider, and kill/resume
+    twins (the last runs the operator in append mode for its file sink)."""
     from oem_gateway_spark.streaming import state as ST
 
     stream = _shuffled_event_replay(spark, sf_dir)
@@ -494,6 +497,7 @@ def _upsert_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_ms_col="ts_ms",
         id_col="event_id",
         timeout_minutes=None,
+        output_mode=output_mode,
     )
 
 

@@ -1,26 +1,42 @@
-"""Round-9 operator: the RocksDB state-store provider witness.
+"""State-store engine surfaces: the RocksDB provider witness (r9) and the
+checkpoint KILL/RESUME recovery witness (r10).
 
-New ENGINE SURFACE (not a new plan shape): every stateful streaming twin
+New ENGINE SURFACES (not new plan shapes): every stateful streaming twin
 so far ran on Spark's default HDFS-backed in-memory state store, whose
-working set lives on the executor JVM heap.  At 100 TB the state store
+working set lives on the executor JVM heap, and every twin's availableNow
+replay ran START-TO-FINISH inside one query.  At 100 TB the state store
 is the binding resource for the ``stream_*`` family — key cardinality,
-not input size, bounds it — and the production answer is the
-``RocksDBStateStoreProvider`` that ships with OSS Spark (native RocksDB
-via bundled JNI, state spills to local SSD, changelog/zip checkpointing
-to the checkpoint location).  This module re-runs the versioned-LWW
-upsert twin under that provider against the SAME DuckDB oracle: the
-provider swap must be invisible in the results while the run itself
-proves the provider was live (RocksDB custom metrics in the query
-progress, asserted by tests/test_round9_ops.py).
+not input size, bounds it — and the failure mode a real deployment
+exercises weekly is a query DYING MID-REPLAY and restarting from its
+half-consumed checkpoint.  This module witnesses both production paths
+against the SAME DuckDB oracle as the default-provider twin:
 
-Reference: the gateway (SURVEY.md ~l.120) has no state store at all —
-its only state is the in-memory send buffer (oemgatewaybuffer.py
-~l.40); this is §2.6 engine-beyond-reference surface.
+- ``stream_upsert_rocksdb``: the versioned-LWW upsert twin re-run under
+  ``RocksDBStateStoreProvider`` (native RocksDB via bundled JNI, state
+  spills to local SSD, snapshot/changelog checkpointing) — the provider
+  swap must be invisible in the results while the run proves the
+  provider was live (rocksdb* custom metrics in the query progress).
+- ``stream_upsert_resume``: the same pipeline STOPPED mid-replay after
+  two of its four micro-batches committed, then RESUMED by a brand-new
+  query on the same checkpoint — under RocksDB + changelog
+  checkpointing (the 100 TB-default commit path) and an exactly-once
+  FILE sink, so the final table must hash-equal the oracle regardless
+  of where the kill landed.
+
+Reference: the gateway (SURVEY.md ~l.120) has no state store and no
+recovery story at all — a SIGKILL loses the in-memory send buffer
+(oemgatewaybuffer.py ~l.40) and every unacknowledged reading with it;
+checkpointed state + sink idempotence is the engine's semantic upgrade
+(SURVEY.md §2.4 B2/B5).  Both are §2.6 engine-beyond-reference surface.
 """
 
 from __future__ import annotations
 
+import contextlib
+import glob
 import os
+import shutil
+import time
 from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,13 +52,57 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+_PARTITIONS_KEY = "spark.sql.shuffle.partitions"
 _SEQ = count()
 
-# Custom state-store metrics from the most recent stream_upsert_rocksdb
-# run (rocksdb* keys iff the provider was actually live) — module-level
-# so the pytest can assert the witness without re-plumbing the query
-# handle through the registry's (spark, sf_dir) -> DataFrame signature.
-LAST_STATE_METRICS: dict[str, int] = {}
+# Per-query witness metrics from the most recent run, KEYED BY QUERY NAME
+# (r9 VERDICT: the old single LAST_STATE_METRICS slot was a latent race —
+# two concurrent runs, or a second state-store twin in the same session,
+# could overwrite each other and the pytest would assert another run's
+# metrics).  Module-level because the registry's (spark, sf_dir) ->
+# DataFrame signature has no side channel for query handles.
+STATE_METRICS: dict[str, dict] = {}
+
+
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, values: dict[str, str]):
+    """Set session confs for one streaming run and ALWAYS restore them.
+
+    Every previous value is captured BEFORE the first set (r9 ADVICE: the
+    old inline version set the provider, then read the partitions conf —
+    if that read raised, the finally never ran and the provider leaked
+    into the session for every later streaming query).  Streaming confs
+    are read at stream START and captured into the new checkpoint, so
+    the scope is exact: only queries started inside the window see them.
+    """
+    prev: dict[str, str | None] = {}
+    for k in values:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    try:
+        for k, v in values.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+def _custom_state_metrics(q) -> dict:
+    """stateOperators[0].customMetrics from a query's last progress —
+    rocksdb* keys iff the RocksDB provider was actually live (the default
+    HDFS provider reports loadedMapCache* keys instead)."""
+    progress = q.lastProgress or {}
+    ops = progress.get("stateOperators") or []
+    return dict(ops[0].get("customMetrics") or {}) if ops else {}
 
 
 @query("stream_upsert_rocksdb", oracle=UPSERT_LWW_ORACLE)
@@ -50,34 +110,24 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream_upsert_latest pipeline (out-of-order LWW register via
     applyInPandasWithState) executed on the ROCKSDB state store.
 
-    The provider conf is read at STREAM START, so it is set just before
-    ``start()`` and restored after ``awaitTermination()`` — the swap is
-    scoped to this one streaming query, and the restore runs in a
-    ``finally`` so a failed run can't leak the provider into the
-    session (the registry's conf-hygiene discipline; this is NOT a
-    conf-leak witness like q_bloom_prune — the provider affects only
-    the stream started inside the guarded window, not later planning).
-    The query progress's custom metrics are captured into
-    LAST_STATE_METRICS; rocksdb* keys there are the proof the provider
-    was live (the default HDFS provider reports loadedMapCache* keys
-    instead).  Results must hash-equal the same oracle as the default-
-    provider twin: state-store choice is an execution detail, never a
-    semantics change."""
-    prev = None
-    try:
-        prev = spark.conf.get(_PROVIDER_KEY)
-    except Exception:
-        prev = None
-    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
-    # Same state-partition scoping as the other stateful twins
-    # (streaming_batch._run_to_table): the replay is kilobytes per
-    # batch, but RocksDB opens a NATIVE store per partition per batch
-    # and uploads a snapshot per commit — at the session's 32
-    # partitions that machinery was the whole 21 s wall (r9 sweep).
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    spark.conf.set(part_key, "8")
-    try:
+    The provider conf is read at STREAM START, so it is scoped via
+    _scoped_conf to this one streaming query (set just before
+    ``start()``, restored after ``awaitTermination()`` in a ``finally``
+    that holds the pre-captured values — this is NOT a conf-leak
+    witness like q_bloom_prune: the provider affects only the stream
+    started inside the guarded window, not later planning).  The query
+    progress's custom metrics land in STATE_METRICS["stream_upsert_rocksdb"];
+    rocksdb* keys there are the proof the provider was live.  Results
+    must hash-equal the same oracle as the default-provider twin:
+    state-store choice is an execution detail, never a semantics change.
+
+    Same state-partition scoping as the other stateful twins
+    (streaming_batch._run_to_table): the replay is kilobytes per batch,
+    but RocksDB opens a NATIVE store per partition per batch and
+    uploads a snapshot per commit — at the session's 32 partitions that
+    machinery was the whole 21 s wall (r9 sweep)."""
+    scoped = {_PROVIDER_KEY: ROCKSDB_PROVIDER, _PARTITIONS_KEY: "8"}
+    with _scoped_conf(spark, scoped):
         out = _upsert_changelog_stream(spark, sf_dir)
         name = f"rocksdb_upsert_{os.getpid()}_{next(_SEQ)}"
         q = (
@@ -88,16 +138,147 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        progress = q.lastProgress or {}
-        ops = progress.get("stateOperators") or []
-        LAST_STATE_METRICS.clear()
-        if ops:
-            LAST_STATE_METRICS.update(ops[0].get("customMetrics") or {})
+        STATE_METRICS["stream_upsert_rocksdb"] = _custom_state_metrics(q)
         log = spark.table(name)
-    finally:
-        spark.conf.set(part_key, prev_parts)
-        if prev is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prev)
     return _upsert_final_state(log)
+
+
+def _resume_scratch() -> str:
+    """Fresh checkpoint/output base for one kill/resume run.  tmpfs when
+    the session's fast-tmp base exists (checkpoint fsync on this host's
+    disk inflates streaming walls 2-10x under ambient I/O storms —
+    session.py::_fast_tmp_base), else repo-local .scratch.  Unique per
+    (pid, seq) so concurrent sessions and bench's best-of-3 passes never
+    share a checkpoint."""
+    base = "/dev/shm/spark-graft-tmp"
+    if not os.path.isdir(base):
+        base = "/root/repo/.scratch"
+    d = os.path.join(base, f"resume-{os.getpid()}-{next(_SEQ)}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+@query("stream_upsert_resume", oracle=UPSERT_LWW_ORACLE)
+def stream_upsert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT KILL/RESUME recovery witness — the one claim at the
+    heart of the engine's hot-reload story (streaming/pipeline.py:15-16,
+    C2: "a checkpoint-resume restart IS the reference's hot settings
+    apply") that no twin had ever exercised: every stateful replay so
+    far ran start-to-finish inside one query.
+
+    New engine surface (three production mechanisms, witnessed together
+    because each is only observable through the others):
+
+    1. MID-REPLAY STOP + RESUME: phase 1 starts the out-of-order LWW
+       upsert replay on a 1 s processing-time trigger (maxFilesPerTrigger
+       =1 pins one micro-batch per file) and calls ``stop()`` the moment
+       two data batches have committed — between batch boundaries or mid
+       batch 2, wherever the kill lands.  Phase 2 starts a BRAND-NEW
+       query on the SAME checkpoint: it must resume from the offset log
+       (first batchId >= 2, recorded in STATE_METRICS), rebuild per-key
+       LWW state from the store, and finish the remaining files.
+    2. ROCKSDB CHANGELOG CHECKPOINTING: both phases run under
+       RocksDBStateStoreProvider with changelogCheckpointing enabled —
+       the 100 TB-default commit path (per-batch changelog appends
+       instead of full zip snapshots; *.changelog files in the state dir
+       are the witness, counted into STATE_METRICS).
+    3. EXACTLY-ONCE FILE SINK: the changelog lands in a parquet
+       FileStreamSink whose _spark_metadata commit log makes replayed
+       batches idempotent — an aborted batch's orphan task files are
+       invisible to the final read, so the result hashes equal no matter
+       where the stop landed.  (The memory sink can't witness recovery:
+       its table dies with the query.)
+
+    The final state must hash-equal UPSERT_LWW_ORACLE — the SAME oracle
+    as the uninterrupted twins: recovery is an execution detail, never a
+    semantics change.  Silent state loss is visible here by construction:
+    the replay is out-of-order, so a key whose LWW register was lost in
+    the restart would accept a late write phase 1 already rejected, and
+    n_updates (accepted-write count) would drift the hash.
+
+    Determinism of the kill point: the 500 ms trigger's idle gap dwarfs
+    the ~25 ms poll latency, so the stop lands before batch 3 (usually
+    before the in-flight one commits).  If an ambient storm ever lets
+    all four batches commit first, the attempt is VACUOUS — it retries
+    on a fresh scratch (never reusing a fully-consumed checkpoint) and
+    only raises after three misses, refusing to return an unwitnessed
+    pass."""
+    scoped = {
+        _PROVIDER_KEY: ROCKSDB_PROVIDER,
+        _CHANGELOG_KEY: "true",
+        _PARTITIONS_KEY: "8",
+    }
+    with _scoped_conf(spark, scoped):
+        for _attempt in range(3):
+            scratch = _resume_scratch()
+            ckpt = os.path.join(scratch, "ckpt")
+            out_dir = os.path.join(scratch, "out")
+            # ---- phase 1: run, then stop mid-replay ---------------------
+            q1 = (
+                _upsert_changelog_stream(spark, sf_dir, output_mode="append")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="500 milliseconds")
+                .start()
+            )
+            deadline = time.monotonic() + 300
+            while time.monotonic() < deadline:
+                if q1.exception() is not None:
+                    raise q1.exception()
+                done = [
+                    p
+                    for p in q1.recentProgress
+                    if (p.get("numInputRows") or 0) > 0
+                ]
+                if len(done) >= 2:
+                    break
+                time.sleep(0.025)
+            q1.stop()
+            q1.awaitTermination()
+            phase1 = [
+                p
+                for p in q1.recentProgress
+                if (p.get("numInputRows") or 0) > 0
+            ]
+            if len(phase1) < 4:
+                break  # kill landed mid-replay: files remain for phase 2
+        else:
+            raise RuntimeError(
+                "stream_upsert_resume: phase 1 committed every batch "
+                "before stop() took effect in 3 consecutive attempts — "
+                "kill point missed, witness vacuous"
+            )
+        # ---- phase 2: a NEW query resumes the same checkpoint -----------
+        q2 = (
+            _upsert_changelog_stream(spark, sf_dir, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        resumed = q2.recentProgress
+        STATE_METRICS["stream_upsert_resume"] = {
+            "phase1_batches": len(phase1),
+            "resume_first_batch": (
+                resumed[0]["batchId"] if resumed else None
+            ),
+            "resume_rows": sum(
+                (p.get("numInputRows") or 0) for p in resumed
+            ),
+            "changelog_files": len(
+                glob.glob(
+                    os.path.join(ckpt, "state", "**", "*.changelog"),
+                    recursive=True,
+                )
+            ),
+            "custom": _custom_state_metrics(q2),
+        }
+    # The _spark_metadata commit log scopes this read to COMMITTED files
+    # only — any orphan task files from the aborted batch are invisible.
+    return _upsert_final_state(spark.read.parquet(out_dir))

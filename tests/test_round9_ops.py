@@ -61,7 +61,9 @@ def test_rocksdb_provider_witnessed_and_conf_restored(spark):
         before = None
 
     rocks = REGISTRY["stream_upsert_rocksdb"].fn(spark, SF).toPandas()
-    metrics = dict(statestore_extra.LAST_STATE_METRICS)
+    # Name-keyed (r9 VERDICT de-race): this run's metrics, not whichever
+    # state-store twin happened to run last.
+    metrics = dict(statestore_extra.STATE_METRICS["stream_upsert_rocksdb"])
     assert any("rocksdb" in k.lower() for k in metrics), metrics
 
     try:
