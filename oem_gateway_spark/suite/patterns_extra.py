@@ -758,6 +758,28 @@ def g_framelog_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- q_hierarchy_resolve
 
+# Fold the resolved accumulator into one checkpoint every N rounds: build
+# plan width stays <= N+2 pieces, executor storage <= 2 resolved copies.
+_FOLD_WIDTH = 4
+
+
+def _free_local_checkpoint(df) -> None:
+    """Free a dead localCheckpoint's blocks NOW instead of waiting for
+    the JVM ContextCleaner to notice the RDD is unreachable (which needs
+    a driver GC cycle — on a long-lived bench session the dead pieces
+    otherwise pile up for minutes).  A localCheckpointed DataFrame's
+    analyzed plan is a LogicalRDD leaf; its `rdd` val is the persisted
+    RDD, and unpersisting THAT removes the blocks (DataFrame.unpersist
+    only talks to the cacheManager, which never saw an RDD-level
+    persist).  Internal API: probed green on this Spark (4.1.2); any
+    shape change degrades to the ContextCleaner path, never to an
+    error.  Only ever called on owners nothing references anymore — a
+    freed localCheckpoint CANNOT recompute (lineage was truncated)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # fall back to ContextCleaner-on-GC
+
 
 @query(
     "q_hierarchy_resolve",
@@ -799,8 +821,17 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full map (an unresolved node's ancestor may itself be resolved,
     in which case the compose jumps straight to the root).  Convergence
     is the unresolved count hitting zero — bounded by
-    ceil(log2(max_depth)) + 1 rounds.  DuckDB oracle: the same forest
-    walked with a recursive CTE.  Pure integer arithmetic."""
+    ceil(log2(max_depth)) + 1 rounds.
+
+    ACCUMULATOR COMPACTION (r9 VERDICT): the frozen pieces FOLD into a
+    single checkpointed DataFrame every _FOLD_WIDTH rounds and the dead
+    owners' blocks are freed immediately — without it the build-side
+    union grew one piece per round (O(rounds^2) plan nodes across the
+    run) and executor storage held the whole resolved set once per
+    round's lineage.  Now plan width is O(_FOLD_WIDTH) = O(1) per round
+    and storage holds at most two resolved copies (the fold
+    materializes before its sources are freed).  DuckDB oracle: the
+    same forest walked with a recursive CTE.  Pure integer arithmetic."""
     parts = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").cast("long").alias("node")
     )
@@ -816,8 +847,12 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(parent < 4)
         .alias("done"),
     ).localCheckpoint(eager=True)
+    # owners = checkpointed DataFrames whose blocks back the live refs
+    # (resolved_parts slices + the current unresolved remainder).  The
+    # LAST owner always backs `unresolved`; a fold frees every other.
+    owners = [state]
     resolved_parts = [state.filter("done")]
-    unresolved = state.filter("NOT done").localCheckpoint(eager=True)
+    unresolved = state.filter("NOT done")
     for _ in range(40):  # 2^40 depth bound; real exit is unresolved == 0
         if unresolved.isEmpty():
             break
@@ -838,8 +873,20 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # cut the doubling lineage
         )
+        owners.append(nxt)
         resolved_parts.append(nxt.filter("done"))
         unresolved = nxt.filter("NOT done")
+        if len(resolved_parts) > _FOLD_WIDTH:
+            folded = resolved_parts[0]
+            for p in resolved_parts[1:]:
+                folded = folded.unionByName(p)
+            # Eager: the fold MATERIALIZES into new blocks before any
+            # source it reads is freed below.
+            folded = folded.localCheckpoint(eager=True)
+            for o in owners[:-1]:  # keep nxt — `unresolved` reads it
+                _free_local_checkpoint(o)
+            owners = [owners[-1], folded]
+            resolved_parts = [folded]
     else:
         # 2^40-depth bound exhausted with rows still unresolved: the old
         # fixed-point formulation returned them as-is; the accumulator

@@ -84,6 +84,56 @@ def test_kill_resume_recovers_from_checkpoint(spark):
     assert {k: conf_or_none(k) for k in keys} == before
 
 
+def test_hierarchy_fold_compacts_accumulator(spark, monkeypatch):
+    """r9 VERDICT #1 (demanding): the resolved accumulator folds into one
+    checkpointed DataFrame every _FOLD_WIDTH rounds and the dead owners'
+    blocks are freed.  The 4-ary forest at test scale is too shallow to
+    cross the default width, so pin the machinery by folding EVERY round:
+    results must be identical to the unfolded run, and the persisted-RDD
+    count after the run must stay at the folded floor (last owner +
+    folds + result pieces), not one block set per round."""
+    from oem_gateway_spark.suite import REGISTRY
+    from oem_gateway_spark.suite import patterns_extra as PE
+
+    SF = "/root/testdata/sf0.001"
+    jsc = spark.sparkContext._jsc.sc()
+
+    baseline = (
+        REGISTRY["q_hierarchy_resolve"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    before = jsc.getPersistentRDDs().size()
+    monkeypatch.setattr(PE, "_FOLD_WIDTH", 1)
+    folded_df = REGISTRY["q_hierarchy_resolve"].fn(spark, SF)
+    folded = folded_df.toPandas().sort_values("node").reset_index(drop=True)
+    assert folded.equals(baseline)
+    # Every round folded: at most the final owner + the last fold (+1
+    # transient) survive; the pre-compaction behavior left one owner
+    # per round (4 rounds at this depth) plus the initial state.
+    leaked = jsc.getPersistentRDDs().size() - before
+    assert leaked <= 3, f"{leaked} persisted RDD sets survived the fold"
+
+
+def test_free_local_checkpoint_removes_blocks(spark):
+    """The fold's block-freeing helper must actually unpersist a dead
+    localCheckpoint (DataFrame.unpersist can't — it only talks to the
+    cacheManager), and must be a silent no-op on a non-checkpointed
+    frame (the ContextCleaner fallback path)."""
+    from oem_gateway_spark.suite.patterns_extra import _free_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    _free_local_checkpoint(df)
+    assert jsc.getPersistentRDDs().size() == before
+    _free_local_checkpoint(spark.range(5))  # plain plan: no-op, no raise
+
+
 def test_state_metrics_keyed_per_query(spark):
     """r9 VERDICT #5: metrics are name-keyed, so one twin's run can't
     clobber another's witness — both entries coexist after running both."""
