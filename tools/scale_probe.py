@@ -278,6 +278,15 @@ def main() -> None:
     )
     ap.add_argument("--append-section", default=None, metavar="TITLE")
     args = ap.parse_args()
+    if args.probes and not args.append_section:
+        # r9 ADVICE: a subset run without --append-section fell through to
+        # the full-rewrite path and overwrote SCALING.md with only the
+        # subset rows, silently dropping every other operator's exponents.
+        ap.error(
+            "--probes requires --append-section: subset runs APPEND their "
+            "own section; the full-table rewrite is reserved for complete "
+            "PROBES runs"
+        )
     factors = [int(x) for x in args.factors.split(",")]
     probes = args.probes.split(",") if args.probes else PROBES
     unknown = [p for p in probes if p not in PROBES]
