@@ -123,6 +123,12 @@ HEADLINE = [
     "q_recursive_cte",
     # round-10 additions
     "stream_upsert_resume",
+    # r10 language surfaces
+    "q_pipe_syntax",
+    "q_collated_group",
+    "q_xml_extract",
+    "q_param_sql",
+    "u_map_in_arrow",
 ]
 
 
@@ -141,6 +147,36 @@ def _git_head(here: str) -> str | None:
         return out.stdout.strip() or None
     except Exception:
         return None
+
+
+def _cpu_calibration() -> dict:
+    """Fixed-work CPU probe embedded in the artifact so walls are
+    comparable ACROSS BOOTS, not just across ambient-load states.  The
+    r10 discovery that motivates this: a quiet-loadavg run (start 0.26)
+    measured every query — including code-untouched ones — uniformly
+    ~1.4x slower than the r9 artifact, through the min-of-3 sweep that
+    already removes cold-cache and warmup effects.  Loadavg cannot see
+    hypervisor-level slowness (a different physical host, CPU steal,
+    frequency caps), so the artifact carries its own ruler: the seconds
+    a fixed single-threaded integer loop takes on THIS boot.  Judges
+    divide walls by (spin_1t_sec / a reference spin) to separate "the
+    engine regressed" from "the box is slower".  ~1 s cost, measured
+    before the Spark session exists."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    spin = round(time.perf_counter() - t0, 4)
+    model = None
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"spin_1t_sec": spin, "cpu_model": model, "n_cpus": os.cpu_count()}
 
 
 def _await_quiet_host(quiet: float) -> None:
@@ -180,6 +216,7 @@ def main() -> None:
     QUIET_THRESHOLD = 2.0
     _await_quiet_host(QUIET_THRESHOLD)
     load_start = list(os.getloadavg())
+    cpu_calibration = _cpu_calibration()
 
     from oem_gateway_spark import get_spark
     from oem_gateway_spark.suite import REGISTRY
@@ -328,6 +365,7 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "quiet_threshold_1m": QUIET_THRESHOLD,
+                "cpu_calibration": cpu_calibration,
             },
             # Round disambiguator (r9 ADVICE): lets an unchanged-headline
             # round self-label — see the full-artifact guard below.

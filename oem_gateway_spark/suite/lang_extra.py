@@ -1,0 +1,242 @@
+"""Round-10 operators: Spark 4 LANGUAGE surfaces the registry lacked.
+
+Each row here is a different way a query ENTERS the engine — parser,
+comparison semantics, wire format, statement binding — not another plan
+shape over the same entrances:
+
+- q_pipe_syntax     SQL PIPE OPERATORS (`|>`): Spark 4's linear query
+                    composition syntax, a second parser path into the
+                    same logical plans ANSI SELECT produces.
+- q_collated_group  COLLATION-AWARE GROUPING (UTF8_LCASE): non-binary
+                    string equality as the SHUFFLE/AGGREGATION key —
+                    every other string group in the registry compares
+                    bytes.
+- q_xml_extract     from_xml typed extraction (element + attribute):
+                    the third semi-structured wire format next to
+                    get_json_object/from_json and parse_json/VARIANT.
+- q_param_sql       PARAMETERIZED SQL (named markers + IDENTIFIER()):
+                    statement/value binding separated from SQL text —
+                    the injection-safe dynamic-SQL surface.
+
+Reference: the gateway (SURVEY.md ~l.120) has no SQL; these are §2.6
+engine-beyond-reference surfaces.  Growth gate: each is a genuinely new
+engine ENTRANCE (parser / comparator / format / binder), per the r9
+verdict's shape-gate discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.registry import query
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX: the same scan -> filter -> derive -> aggregate ->
+    having dataflow every ANSI query in the registry writes inside-out,
+    written as a LINEAR `|>` chain (Spark 4 pipe operators: WHERE,
+    EXTEND, AGGREGATE ... GROUP BY, then a post-aggregation WHERE that
+    plays HAVING).
+
+    New engine surface: a SECOND PARSER PATH.  Everything downstream is
+    deliberately unchanged — the pipe chain must lower to the identical
+    optimized plan as its ANSI twin (tests/test_round10_ops.py pins
+    filter pushdown to the scan and the single group-by exchange, same
+    as test_q1's contract), so at 100 TB syntax choice is free: pipe
+    queries inherit pushdown, partial aggregation, and AQE with zero
+    new machinery.  The oracle is the ANSI spelling itself, making the
+    driver hash-prove parser equivalence.  Integer-exact outputs (count
+    + casts of integral quantities), no float drift."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |> EXTEND CAST(l_quantity AS BIGINT) AS qty
+        |> AGGREGATE COUNT(*) AS n, SUM(qty) AS sum_qty,
+                     SUM(CAST(l_linenumber AS BIGINT)) AS sum_ln
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 10
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, sum_ln
+        """
+    )
+
+
+@query(
+    "q_collated_group",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                  ELSE lower(p_brand) END AS brand_mixed,
+             p_partkey
+      FROM part
+    )
+    SELECT lower(min(brand_mixed)) AS brand_lc,
+           min(brand_mixed) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+    FROM keyed
+    GROUP BY lower(brand_mixed)
+    """,
+)
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE GROUPING: a deliberately case-mangled brand key
+    (even partkeys upper-cased, odd lower-cased — every class is
+    guaranteed mixed) grouped under UTF8_LCASE, so 'BRAND#13' and
+    'brand#13' land in ONE group by the engine's comparator, not by a
+    hand-written lower() normalization.
+
+    New engine surface: NON-BINARY STRING EQUALITY as the shuffle and
+    aggregation key.  Every other string grouping in the registry
+    compares bytes; here the collated type itself carries the
+    equivalence into hashing/exchange (Catalyst rewrites the grouping
+    key through CollationKey so hash partitioning stays consistent with
+    collated equality).  At 100 TB this is the difference between
+    normalizing columns at write time and declaring the comparator at
+    read time — the collation travels with the type through every
+    downstream join/agg.  Outputs are derived ONLY from the non-collated
+    source column (binary min as the deterministic representative,
+    lower() of it as the class label) and the collated key is dropped,
+    so the result schema is plain strings and the DuckDB oracle is the
+    explicit lower()-grouped spelling: the driver hash-proves the
+    comparator equals the normalization.  Integer-exact aggregates."""
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed"),
+        "p_partkey",
+    )
+    collated = keyed.withColumn(
+        "brand_ci", F.collate(F.col("brand_mixed"), "UTF8_LCASE")
+    )
+    return (
+        collated.groupBy("brand_ci")
+        .agg(
+            F.min("brand_mixed").alias("rep"),
+            F.count("*").alias("n"),
+            F.sum("p_partkey").alias("sum_key"),
+        )
+        .select(
+            F.lower(F.col("rep")).alias("brand_lc"),
+            "rep",
+            "n",
+            "sum_key",
+        )
+    )
+
+
+@query(
+    "q_xml_extract",
+    oracle="""
+    SELECT CAST(l_orderkey % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+    FROM lineitem
+    GROUP BY l_orderkey % 7
+    """,
+)
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML typed extraction: each lineitem row serialized to an XML
+    record (an `id` ATTRIBUTE plus `ln`/`qty` child elements), parsed
+    back with from_xml into a typed struct, and aggregated from the
+    extracted fields only — the landing-zone round trip q_multi_format
+    _union proves for CSV/JSON-lines, witnessed for the third wire
+    format warehouses actually receive.
+
+    New engine surface: NATIVE XML PARSING (Spark 4 built-in),
+    including the attribute path (default attributePrefix maps id ->
+    _id in the schema) which JSON/VARIANT have no analogue for.  The
+    parse is one JVM-side expression per row — no Python, no shuffle
+    added; the single exchange is the final group-by.  The DuckDB
+    oracle computes the same aggregate directly from the base columns,
+    so the driver hash-proves the XML round trip lossless.  PERMISSIVE
+    parse semantics (malformed record -> null struct, never a job
+    failure — the 100 TB dirty-feed contract) are pinned in
+    tests/test_round10_ops.py.  Pure integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xml = li.select(
+        F.concat(
+            F.lit('<rec id="'),
+            F.col("l_orderkey").cast("string"),
+            F.lit('"><ln>'),
+            F.col("l_linenumber").cast("string"),
+            F.lit("</ln><qty>"),
+            F.col("l_quantity").cast("bigint").cast("string"),
+            F.lit("</qty></rec>"),
+        ).alias("payload")
+    )
+    parsed = xml.select(
+        F.from_xml("payload", "_id BIGINT, ln BIGINT, qty BIGINT").alias("rec")
+    )
+    return (
+        parsed.groupBy((F.col("rec._id") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rec.qty").alias("sum_qty"),
+            F.sum("rec.ln").alias("sum_ln"),
+        )
+    )
+
+
+@query(
+    "q_param_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderpriority <> '3-MEDIUM'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL: the statement text contains no data values at
+    all — the table arrives through IDENTIFIER(:tbl) and the predicate
+    constants through named markers (:floor, :excl), bound at parse
+    time by spark.sql(..., args=...).
+
+    New engine surface: STATEMENT/VALUE BINDING separated from SQL
+    text.  Every other spark.sql call in the registry interpolates
+    nothing (constants are part of the reviewed query); the moment a
+    pipeline templates queries over user- or config-supplied values —
+    the per-tenant / per-day / per-source pattern every 100 TB
+    deployment hits — string interpolation is an injection and a
+    plan-cache miss, while markers keep one parse shape with swapped
+    literals.  IDENTIFIER() is the same contract for NAMES: the bound
+    string can only ever resolve as a table identifier, never as SQL.
+    Injection-safety is pinned in tests/test_round10_ops.py (a quote-
+    smuggling value stays an inert literal; a bogus identifier raises
+    instead of parsing).  The oracle is the fully-inlined spelling, so
+    the driver hash-proves binding equals inlining.  min/max are exact
+    order-independent doubles; no float summation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :floor AND o_orderpriority <> :excl
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders_param_src", "floor": 150000.0, "excl": "3-MEDIUM"},
+    )

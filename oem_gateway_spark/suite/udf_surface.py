@@ -254,3 +254,56 @@ def u_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("am", "em").alias("median_ok"),
         ok("ap", "ep").alias("p99_ok"),
     )
+
+
+@query(
+    "u_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT)
+             AS sum_qty_ln
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the ARROW-NATIVE batch extension point — the worker
+    receives pyarrow.RecordBatch directly and computes through
+    pyarrow.compute kernels, skipping the Arrow->pandas materialization
+    every other Python path in this module pays (mapInPandas/pandas_udf
+    convert each batch to pandas Series: an extra copy, dtype coercion,
+    and NaN-for-null semantics).
+
+    New engine surface: the LAST rung of the Python-UDF cost ladder.
+    Row UDF (u_python_udf, documented anti-pattern) -> pandas batches
+    (u_map_in_pandas) -> Arrow batches (here): zero-copy columnar in
+    AND out, null semantics preserved exactly, the right signature for
+    kernels that already speak Arrow (tokenizers, encoders, the
+    multimodal decode seam).  At 100 TB this is the Python hot-path
+    shape: per-batch vectorized compute, no pandas object boxing.  The
+    Python stage only multiplies two int64 columns; the surrounding
+    projection and final aggregate stay JVM-side (column pruning
+    reaches the scan — only 3 of 11 lineitem columns are read, pinned
+    in tests/test_round10_ops.py alongside the MapInArrow plan node).
+    Integer-exact outputs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def qty_times_line(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            idx = {name: i for i, name in enumerate(batch.schema.names)}
+            qty = pc.cast(batch.column(idx["l_quantity"]), pa.int64())
+            ln = pc.cast(batch.column(idx["l_linenumber"]), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(idx["l_returnflag"]), pc.multiply(qty, ln)],
+                ["l_returnflag", "qty_ln"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_linenumber"
+    )
+    mapped = li.mapInArrow(qty_times_line, "l_returnflag string, qty_ln bigint")
+    return mapped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("qty_ln").alias("sum_qty_ln")
+    )

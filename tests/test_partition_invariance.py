@@ -57,6 +57,14 @@ QUERIES = [
     # recursive CTE's UnionLoop must likewise be layout-free
     "q_hierarchy_resolve",
     "q_recursive_cte",
+    # round 10: the collated grouping key must hash CONSISTENTLY with
+    # collated equality at any shuffle width (Catalyst's CollationKey
+    # rewrite — if hashing ever used raw bytes, 'BRAND#13' and
+    # 'brand#13' would land on different reducers and re-split the
+    # group); the Arrow-batch stage's products are integer sums, but
+    # its BATCH BOUNDARIES move with partitioning and must not show
+    "q_collated_group",
+    "u_map_in_arrow",
 ]
 
 

@@ -148,3 +148,136 @@ def test_state_metrics_keyed_per_query(spark):
     # is the structured witness dict — distinct shapes, distinct slots.
     assert any("rocksdb" in k.lower() for k in ms["stream_upsert_rocksdb"])
     assert "resume_first_batch" in ms["stream_upsert_resume"]
+
+
+# --------------------------------------------------------------------------
+# r10 language-surface additions (lang_extra.py + u_map_in_arrow): the
+# value/oracle proof lives in test_suite_oracle's full-registry replay;
+# these pin the SHAPE claims each docstring makes.
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipe_syntax_inherits_pushdown_and_single_exchange(spark):
+    """The pipe chain is a parser surface, not a new executor: the WHERE
+    stage must push to the parquet scan and the AGGREGATE stage must plan
+    as the usual partial-agg -> ONE exchange -> final-agg, exactly like
+    its ANSI twin (test_q1's contract)."""
+    from oem_gateway_spark.plans import num_exchanges, pushed_filters
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["q_pipe_syntax"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert num_exchanges(df) == 1
+
+
+def test_collated_group_merges_case_variants_in_engine(spark):
+    """The UTF8_LCASE comparator (not a lower() rewrite) must carry the
+    grouping: the plan mentions the collation, and every output class
+    proves a genuine case merge — the binary-min representative is the
+    UPPER spelling ('B' < 'b') while the class label is the lower one,
+    which can only happen when both spellings landed in ONE group."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.plans import explain_str
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["q_collated_group"].fn(spark, SF)
+    assert "UTF8_LCASE" in explain_str(df, "extended")
+    rows = df.collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.rep == r.brand_lc.upper(), r
+        assert r.rep != r.brand_lc, r  # genuinely mixed input reached the group
+    # class count == case-insensitive distinct count of the mangled key
+    n_ci = (
+        REGISTRY["q_collated_group"]
+        .fn(spark, SF)
+        .select("brand_lc")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_ci
+    # sanity on the comparator itself
+    assert (
+        spark.range(1)
+        .select(
+            (F.collate(F.lit("BRAND#13"), "UTF8_LCASE") == F.lit("brand#13")).alias(
+                "eq"
+            )
+        )
+        .first()
+        .eq
+    )
+
+
+def test_xml_malformed_rows_parse_permissive(spark):
+    """The 100 TB dirty-feed contract: a malformed XML record becomes a
+    null struct (PERMISSIVE), never a job failure; valid records extract
+    both the attribute (_id) and the child elements."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('<rec id="7"><ln>2</ln><qty>30</qty></rec>',),
+            ("<rec id=7><ln>broken",),  # unquoted attr + truncated
+            ("not xml at all",),
+        ],
+        ["payload"],
+    ).select(
+        F.from_xml("payload", "_id BIGINT, ln BIGINT, qty BIGINT").alias("rec")
+    )
+    rows = df.select("rec._id", "rec.ln", "rec.qty").collect()
+    assert (rows[0]["_id"], rows[0]["ln"], rows[0]["qty"]) == (7, 2, 30)
+    for r in rows[1:]:
+        assert r["_id"] is None and r["ln"] is None and r["qty"] is None, r
+
+
+def test_param_sql_binding_is_inert_and_identifier_guarded(spark):
+    """Markers bind VALUES, never SQL: a quote-smuggling string stays an
+    inert literal (the would-be `OR '1'='1'` tail must NOT widen the
+    result), and IDENTIFIER refuses a non-identifier string instead of
+    parsing it as SQL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.catalog import load_table
+    from oem_gateway_spark.suite import REGISTRY
+
+    REGISTRY["q_param_sql"].fn(spark, SF).collect()  # registers the view
+    smuggled = "3-MEDIUM' OR '1'='1"
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl) "
+        "WHERE o_totalprice > :floor AND o_orderpriority <> :excl",
+        args={"tbl": "orders_param_src", "floor": 150000.0, "excl": smuggled},
+    ).first().n
+    expected = (
+        load_table(spark, SF, "orders")
+        .filter((F.col("o_totalprice") > 150000.0) & (F.col("o_orderpriority") != smuggled))
+        .count()
+    )
+    assert n == expected  # literal semantics: nothing matched the smuggled tail
+    with pytest.raises(Exception, match="(?i)parse|identifier|syntax"):
+        spark.sql(
+            "SELECT COUNT(*) FROM IDENTIFIER(:tbl)",
+            args={"tbl": "orders_param_src WHERE 1=1; DROP TABLE x"},
+        ).collect()
+
+
+def test_map_in_arrow_plan_node_and_column_pruning(spark):
+    """The Arrow-native stage plans as MapInArrow (NOT a pandas eval),
+    and the upstream projection prunes the scan to the 3 used columns —
+    the Python stage never sees the other 8 lineitem columns."""
+    from oem_gateway_spark.plans import explain_str
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["u_map_in_arrow"].fn(spark, SF)
+    text = explain_str(df)
+    assert "MapInArrow" in text, text
+    read_schema = [ln for ln in text.splitlines() if "ReadSchema" in ln]
+    assert read_schema, text
+    line = read_schema[0]
+    for col in ("l_returnflag", "l_quantity", "l_linenumber"):
+        assert col in line, line
+    assert "l_extendedprice" not in line and "l_orderkey" not in line, line
