@@ -123,6 +123,21 @@ PROBES = [
                                 # (+log4 k), per-round cost linear; the
                                 # declarative-vs-pointer-doubling tradeoff
                                 # measured side by side
+    # round-10 additions (language surfaces — per-row cost is the claim,
+    # so all four must track the map-only baseline at ~1.0):
+    "q_pipe_syntax",            # pipe-parsed scan-agg over lineitem xk: the
+                                # parser is per-STATEMENT, so the exponent
+                                # must equal the ANSI scan-agg family's
+    "q_collated_group",         # UTF8_LCASE grouping over part xk: replicas
+                                # keep the 25-brand vocabulary, so group
+                                # count is constant and rows grow k-fold —
+                                # collation-key hashing is per-row, linear
+    "q_xml_extract",            # per-row XML serialize + from_xml parse over
+                                # lineitem xk: pure map cost + one agg, the
+                                # parse must scale like any row expression
+    "u_map_in_arrow",           # Arrow-batch Python stage over lineitem xk:
+                                # batch count grows k-fold at constant batch
+                                # size — per-batch overhead amortizes, linear
 ]
 
 
