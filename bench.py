@@ -129,6 +129,7 @@ HEADLINE = [
     "q_xml_extract",
     "q_param_sql",
     "u_map_in_arrow",
+    "stream_state_reader",
 ]
 
 

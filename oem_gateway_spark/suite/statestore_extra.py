@@ -282,3 +282,69 @@ def stream_upsert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The _spark_metadata commit log scopes this read to COMMITTED files
     # only — any orphan task files from the aborted batch are invisible.
     return _upsert_final_state(spark.read.parquet(out_dir))
+
+
+@query(
+    "stream_state_reader",
+    oracle="""
+    SELECT CAST(event_id % 97 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid
+    FROM events
+    WHERE user_id % 50 = 0
+    GROUP BY event_id % 97
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE STATE INTROSPECTION (Spark 4 state data source): a
+    streaming aggregation's CHECKPOINT is read back as a DataFrame with
+    ``spark.read.format("statestore")`` and the decoded state — not the
+    sink output — is what the driver hash-checks against the batch
+    GROUP BY.
+
+    New engine surface: every other stream_* twin witnesses what a
+    query EMITS; this witnesses what a checkpoint HOLDS.  The 4-batch
+    replay (the shared event_replay_batches slice) runs a grouped
+    count/sum to completion into a noop sink — deliberately a sink that
+    keeps nothing — so the ONLY place the answer survives is the state
+    store.  The reader then decodes the HDFSBackedStateStore files into
+    typed rows (key struct -> k, aggregation buffer -> count/sum;
+    renamed positionally, buffer order = agg order) and that result
+    must hash-equal the batch aggregate: checkpointed state is the
+    semantically exact partial, not an opaque blob.  At 100 TB this is
+    the operational path the streaming family was missing — state
+    audits ("is this key's register what production thinks it is"),
+    skew forensics via partition_id, and safe state surgery validation,
+    all WITHOUT stopping or replaying the production query; the read
+    cost is the state's size, never the stream's history.  The sibling
+    ``state-metadata`` source (operator inventory of a foreign
+    checkpoint) and per-batch time travel (``option("batchId", k)``
+    shows the monotone prefix states) are pinned in
+    tests/test_round10_ops.py.  Pure integer outputs."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.suite.streaming_batch import event_replay_batches
+
+    stream = event_replay_batches(
+        spark, sf_dir, "statereader", lambda ev: F.col("event_id") % 4
+    )
+    agg = stream.groupBy((F.col("event_id") % 97).alias("k")).agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_eid")
+    )
+    with _scoped_conf(spark, {_PARTITIONS_KEY: "8"}):
+        scratch = _resume_scratch()
+        ckpt = os.path.join(scratch, "ckpt")
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select("key.*", "value.*")
+        .toDF("k", "n", "sum_eid")
+    )
