@@ -114,7 +114,16 @@ def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower() of it as the class label) and the collated key is dropped,
     so the result schema is plain strings and the DuckDB oracle is the
     explicit lower()-grouped spelling: the driver hash-proves the
-    comparator equals the normalization.  Integer-exact aggregates."""
+    comparator equals the normalization.  Integer-exact aggregates.
+
+    Scale caveat (read off the plan, PLANS.md): the collated key
+    disqualifies hash aggregation — Spark plans SortAggregate on both
+    sides of the single exchange.  Cost is n log(n/partitions) compares
+    instead of O(n) hashing; still one shuffle, still partial-agg
+    map-side, but for a hot 100 TB aggregation where the key is known
+    ASCII, normalizing at write time (lower() into a binary column)
+    buys the hash aggregate back.  Declare-the-comparator vs
+    normalize-at-write is therefore a measured tradeoff, not dogma."""
     part = load_table(spark, sf_dir, "part")
     keyed = part.select(
         F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))

@@ -90,6 +90,12 @@ QUERIES = [
     ("q_multi_format_union", "one plan, three scan operators: parquet + explicit-schema csv + json"),
     ("g_framelog_batch", "batch Python DataSource: partition-per-shard scan, JVM-side parse"),
     ("stream_static_join", None),  # streaming: plan shown for the batch twin
+    # round 10 language surfaces
+    ("q_pipe_syntax", "pipe-parsed chain lowers to the ANSI scan-agg plan: pushdown + 1 exchange"),
+    ("q_collated_group", "UTF8_LCASE grouping: collated key carries the exchange/agg"),
+    ("q_xml_extract", "per-row XML serialize + from_xml: map-only until the group-by"),
+    ("q_param_sql", "markers bound at parse: plan identical to the inlined spelling"),
+    ("u_map_in_arrow", "MapInArrow stage between pruned scan and JVM aggregate"),
 ]
 
 
