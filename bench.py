@@ -150,6 +150,35 @@ def _git_head(here: str) -> str | None:
         return None
 
 
+def _code_changed_since(here: str, old_head: str) -> bool | None:
+    """Whether ENGINE SOURCE (anything but .md/.json artifacts) changed
+    between ``old_head`` and the current HEAD.  The recorded git_head is
+    taken DURING the bench run, i.e. before the artifact itself (and any
+    round-closing docs) are committed — so on a same-round rerun HEAD has
+    always advanced past it and head inequality alone proves nothing
+    (r10 review finding: the escape hatch fired on every post-close rerun
+    and would mislabel a next-round artifact from unchanged code).  A
+    real next round always lands source changes; artifact/doc-only
+    history means the checkout is still indistinguishable.  None when
+    git can't answer (treat as unknown -> allow, preserving the old
+    behavior)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "diff", "--name-only", f"{old_head}..HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if out.returncode != 0:
+            return None
+        names = [n.strip() for n in out.stdout.splitlines() if n.strip()]
+        return any(
+            not (n.endswith(".md") or n.endswith(".json")) for n in names
+        )
+    except Exception:
+        return None
+
+
 def _cpu_calibration() -> dict:
     """Fixed-work CPU probe embedded in the artifact so walls are
     comparable ACROSS BOOTS, not just across ambient-load states.  The
@@ -188,7 +217,19 @@ def _await_quiet_host(quiet: float) -> None:
     SPARK_GRAFT_QUIET_WAIT_SECS so the driver's unattended per-round run
     never blocks; when the wait expires the run proceeds WITH A WARNING —
     the artifact's embedded load_context stays the ground truth."""
-    wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "0") or 0)
+    raw_wait = os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "0") or "0"
+    try:
+        wait = float(raw_wait)
+    except ValueError:
+        # Same env-var bug class as SPARK_GRAFT_BENCH_ROUND (r9 ADVICE):
+        # a malformed value must never abort the run before the contract
+        # line prints.  Warn and skip the quiet wait.
+        print(
+            "bench: ignoring malformed SPARK_GRAFT_QUIET_WAIT_SECS="
+            f"{raw_wait!r}; starting without a quiet wait",
+            file=sys.stderr,
+        )
+        wait = 0.0
     deadline = time.monotonic() + wait
     cur = os.getloadavg()[0]
     while cur > quiet and time.monotonic() < deadline:
@@ -427,6 +468,15 @@ def main() -> None:
                     or prev.get("git_head") is None
                     or head == prev.get("git_head")
                 )
+                # A different HEAD only counts as "real round work landed"
+                # when SOURCE changed since the recorded head — the
+                # artifact commit itself (and round-closing docs) always
+                # advance HEAD, so head inequality alone is not evidence
+                # (r10 review finding).
+                if same_set and not same_head and prev.get("git_head"):
+                    changed = _code_changed_since(here, prev["git_head"])
+                    if changed is False:
+                        same_head = True  # docs/artifacts only: still ambiguous
                 if same_set and same_head:
                     print(
                         "bench: NOT writing a full artifact — this run's "

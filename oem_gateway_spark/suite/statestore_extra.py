@@ -143,16 +143,63 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _upsert_final_state(log)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _sweep_stale_scratch(base: str) -> None:
+    """Reclaim dead kill/resume scratch dirs (r10 review finding: the
+    (pid, seq)-unique dirs were NEVER removed, so a long-lived host
+    accumulated RAM-resident RocksDB checkpoints in /dev/shm until
+    tmpfs filled).  A dir is dead when its owner pid is gone, or when
+    it is older than 30 min — the returned DataFrames read their
+    checkpoint/output LAZILY, so a live owner's RECENT dirs must stay
+    (the driver collects right after the call; bench's best-of-3 saves
+    each pass before the next); nothing holds a handle for half an
+    hour."""
+    now = time.time()
+    for entry in glob.glob(os.path.join(base, "resume-*")):
+        parts = os.path.basename(entry).split("-")
+        try:
+            owner = int(parts[1])
+        except (IndexError, ValueError):
+            owner = None
+        try:
+            stale = now - os.path.getmtime(entry) > 1800
+        except OSError:
+            continue  # concurrently removed
+        if stale or (owner is not None and not _pid_alive(owner)):
+            shutil.rmtree(entry, ignore_errors=True)
+
+
 def _resume_scratch() -> str:
     """Fresh checkpoint/output base for one kill/resume run.  tmpfs when
-    the session's fast-tmp base exists (checkpoint fsync on this host's
-    disk inflates streaming walls 2-10x under ambient I/O storms —
-    session.py::_fast_tmp_base), else repo-local .scratch.  Unique per
-    (pid, seq) so concurrent sessions and bench's best-of-3 passes never
-    share a checkpoint."""
+    the session's fast-tmp base exists WITH >= 2 GiB free (checkpoint
+    fsync on this host's disk inflates streaming walls 2-10x under
+    ambient I/O storms — session.py::_fast_tmp_base; the free-space
+    guard mirrors its tiered check: tmpfs IS RAM, and a checkpoint
+    written to a nearly-full tmpfs trades a slow run for ENOSPC), else
+    repo-local .scratch.  Unique per (pid, seq) so concurrent sessions
+    and bench's best-of-3 passes never share a checkpoint; stale
+    siblings are swept on every call."""
     base = "/dev/shm/spark-graft-tmp"
-    if not os.path.isdir(base):
+    usable = False
+    if os.path.isdir(base):
+        try:
+            st = os.statvfs(base)
+            usable = st.f_bavail * st.f_frsize >= 2 << 30
+        except OSError:
+            usable = False
+    if not usable:
         base = "/root/repo/.scratch"
+        os.makedirs(base, exist_ok=True)
+    _sweep_stale_scratch(base)
     d = os.path.join(base, f"resume-{os.getpid()}-{next(_SEQ)}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
@@ -199,11 +246,13 @@ def stream_upsert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism of the kill point: the 500 ms trigger's idle gap dwarfs
     the ~25 ms poll latency, so the stop lands before batch 3 (usually
-    before the in-flight one commits).  If an ambient storm ever lets
-    all four batches commit first, the attempt is VACUOUS — it retries
-    on a fresh scratch (never reusing a fully-consumed checkpoint) and
-    only raises after three misses, refusing to return an unwitnessed
-    pass."""
+    before the in-flight one commits).  The miss guard is TWO-SIDED:
+    if an ambient storm lets all four batches commit first (VACUOUS
+    kill), or stalls the host so hard that fewer than two commit inside
+    the 300 s poll (the advertised resume-from-batch>=2 witness would
+    not exist), the attempt retries on a fresh scratch (never reusing a
+    fully- or under-consumed checkpoint) and only raises after three
+    misses, refusing to return an unwitnessed pass."""
     scoped = {
         _PROVIDER_KEY: ROCKSDB_PROVIDER,
         _CHANGELOG_KEY: "true",
@@ -243,13 +292,21 @@ def stream_upsert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for p in q1.recentProgress
                 if (p.get("numInputRows") or 0) > 0
             ]
-            if len(phase1) < 4:
+            if 2 <= len(phase1) < 4:
                 break  # kill landed mid-replay: files remain for phase 2
+            # Two-sided miss (r10 review finding: the old guard accepted
+            # < 2 committed batches, so a 300 s host stall let phase 2
+            # replay everything and the driver recorded a pass whose
+            # "resume_first_batch >= 2" witness never held): all 4
+            # committed = kill point missed; fewer than 2 = the stop
+            # fired before the witness existed.  Either way, retry on a
+            # FRESH scratch.
         else:
             raise RuntimeError(
-                "stream_upsert_resume: phase 1 committed every batch "
-                "before stop() took effect in 3 consecutive attempts — "
-                "kill point missed, witness vacuous"
+                "stream_upsert_resume: no attempt stopped with exactly "
+                "2-3 committed batches in 3 tries (all-committed = kill "
+                "missed; <2 = host stalled past the 300 s poll) — "
+                "refusing to return an unwitnessed pass"
             )
         # ---- phase 2: a NEW query resumes the same checkpoint -----------
         q2 = (

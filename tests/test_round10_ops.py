@@ -347,3 +347,72 @@ def test_state_reader_metadata_and_batch_time_travel(spark):
         assert all(rows[k] <= final_n[k] for k in rows)  # monotone prefixes
         prev_total = total
     assert rows == final_n  # batch 3 IS the final state
+
+
+# --------------------------------------------------------------------------
+# r10 code-review fixes: env-var robustness, rerun mislabeling guard,
+# scratch hygiene.
+
+
+def test_quiet_wait_env_malformed_is_ignored(monkeypatch, capsys):
+    """A malformed SPARK_GRAFT_QUIET_WAIT_SECS must warn and skip the
+    wait, never abort the bench before the contract line (the same bug
+    class the r9 ADVICE fixed for SPARK_GRAFT_BENCH_ROUND)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setenv("SPARK_GRAFT_QUIET_WAIT_SECS", "60s")
+    bench._await_quiet_host(2.0)  # must not raise
+    assert "malformed SPARK_GRAFT_QUIET_WAIT_SECS" in capsys.readouterr().err
+
+
+def test_code_changed_since_distinguishes_doc_only_history():
+    """The rerun-mislabeling guard: HEAD..HEAD is an empty diff (False —
+    checkout indistinguishable); a bogus rev answers None (unknown ->
+    preserve old allow behavior); and the r10 artifact commit relative
+    to its recorded pre-commit git_head must NOT count as source change
+    on its own (it added only .json/.md)."""
+    import importlib.util
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test2", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    here = "/root/repo"
+    head = subprocess.run(
+        ["git", "-C", here, "rev-parse", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    assert bench._code_changed_since(here, head) is False
+    assert bench._code_changed_since(here, "not-a-rev") is None
+
+
+def test_resume_scratch_sweeps_dead_and_stale_dirs(tmp_path):
+    """Scratch hygiene (r10 review): dirs owned by dead pids and dirs
+    older than 30 min are reclaimed; the caller's own fresh dirs stay
+    (their checkpoints are read lazily after the query fn returns)."""
+    import os
+    import time as _time
+
+    from oem_gateway_spark.suite.statestore_extra import _sweep_stale_scratch
+
+    base = str(tmp_path)
+    dead = os.path.join(base, "resume-999999999-0")  # pid can't exist
+    fresh = os.path.join(base, f"resume-{os.getpid()}-7")
+    old = os.path.join(base, f"resume-{os.getpid()}-8")
+    junk = os.path.join(base, "resume-notapid-1")
+    for d in (dead, fresh, old, junk):
+        os.makedirs(d)
+    past = _time.time() - 3600
+    os.utime(old, (past, past))
+    _sweep_stale_scratch(base)
+    assert not os.path.exists(dead), "dead-owner dir must be reclaimed"
+    assert not os.path.exists(old), "30-min-stale dir must be reclaimed"
+    assert os.path.exists(fresh), "live owner's fresh dir must survive"
+    assert os.path.exists(junk), "unparseable names are left alone (fresh)"
