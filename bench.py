@@ -130,6 +130,7 @@ HEADLINE = [
     "q_param_sql",
     "u_map_in_arrow",
     "stream_state_reader",
+    "q_orc_roundtrip",
 ]
 
 

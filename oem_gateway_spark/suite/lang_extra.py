@@ -17,6 +17,10 @@ shape over the same entrances:
 - q_param_sql       PARAMETERIZED SQL (named markers + IDENTIFIER()):
                     statement/value binding separated from SQL text —
                     the injection-safe dynamic-SQL surface.
+- q_orc_roundtrip   ORC datasource round trip: the second COLUMNAR
+                    wire format (own reader stack, own pushdown);
+                    filters and values proven to survive the format
+                    boundary bit-exactly.
 
 Reference: the gateway (SURVEY.md ~l.120) has no SQL; these are §2.6
 engine-beyond-reference surfaces.  Growth gate: each is a genuinely new
@@ -248,4 +252,68 @@ def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
         args={"tbl": "orders_param_src", "floor": 150000.0, "excl": "3-MEDIUM"},
+    )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip with predicate pushdown: a lineitem projection is
+    written to ORC (once per source fingerprint, atomic_export), read
+    back through the ORC datasource with a scan-pushed ship-date
+    filter, and aggregated — the result must hash-equal the same
+    aggregate computed from the parquet original, proving the columnar
+    round trip lossless.
+
+    New engine surface: the SECOND COLUMNAR WIRE FORMAT.  Every other
+    scan in the registry is parquet (plus q_multi_format_union's text
+    row formats and q_xml_extract's per-row XML); ORC is the
+    interchange format an engine meets whenever it shares a lake with
+    a Hive/Trino estate, and it has its OWN reader stack — separate
+    pushdown implementation (PushedFilters on the ORC FileScan,
+    plan-pinned in tests/test_round10_ops.py), separate vectorized
+    batch decode (Batched: true), its own encodings and bloom-filter
+    indexes.  At 100 TB "we can read your tables in place" is the
+    difference between a migration project and a config line; this row
+    proves filters and values survive the format boundary bit-exactly.
+    The export is projection-only (4 of 11 columns) and cached per
+    (sf_dir, lineitem fingerprint) so reruns pay one write.  Integer
+    casts make every aggregate exact."""
+    import os
+
+    from oem_gateway_spark.suite.streaming_batch import _source_fp, atomic_export
+
+    li = load_table(spark, sf_dir, "lineitem")
+    safe = sf_dir.strip("/").replace("/", "_")
+    orc_dir = os.path.join(
+        "/root/repo/.scratch",
+        f"orc-lineitem-{safe}-{_source_fp(sf_dir, 'lineitem')}",
+    )
+
+    def build(tmp: str) -> None:
+        (
+            li.select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+            .write.mode("overwrite")
+            .orc(os.path.join(tmp, "data"))
+        )
+        open(os.path.join(tmp, "_DONE"), "w").close()
+
+    atomic_export(build, orc_dir, "_DONE")
+    back = spark.read.orc(os.path.join(orc_dir, "data")).filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_okey"),
     )

@@ -416,3 +416,19 @@ def test_resume_scratch_sweeps_dead_and_stale_dirs(tmp_path):
     assert not os.path.exists(old), "30-min-stale dir must be reclaimed"
     assert os.path.exists(fresh), "live owner's fresh dir must survive"
     assert os.path.exists(junk), "unparseable names are left alone (fresh)"
+
+
+def test_orc_roundtrip_pushes_filter_into_orc_scan(spark):
+    """The ORC datasource has its OWN pushdown stack: the ship-date
+    filter must reach the ORC FileScan's PushedFilters (not evaluate
+    post-scan), the scan must be the ORC format, and the vectorized
+    batch path must be on."""
+    from oem_gateway_spark.plans import explain_str, pushed_filters
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["q_orc_roundtrip"].fn(spark, SF)
+    text = explain_str(df)
+    assert "Scan orc" in text or "Format: ORC" in text, text
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert "Batched: true" in text, text
