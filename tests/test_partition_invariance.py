@@ -65,6 +65,12 @@ QUERIES = [
     # its BATCH BOUNDARIES move with partitioning and must not show
     "q_collated_group",
     "u_map_in_arrow",
+    # round 10b: the two format-boundary decoders — per-row XML parse
+    # and the ORC reader stack — must yield identical aggregates at any
+    # layout (the ORC export is fingerprint-cached, so the re-shard
+    # exercises the READ side against a fixed file set)
+    "q_xml_extract",
+    "q_orc_roundtrip",
 ]
 
 
