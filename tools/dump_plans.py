@@ -96,6 +96,16 @@ QUERIES = [
     ("q_xml_extract", "per-row XML serialize + from_xml: map-only until the group-by"),
     ("q_param_sql", "markers bound at parse: plan identical to the inlined spelling"),
     ("u_map_in_arrow", "MapInArrow stage between pruned scan and JVM aggregate"),
+    # round 11 additions (both run their streaming phase when built; the
+    # dumped plan is the read-back side the driver hashes)
+    (
+        "stream_state_reader_rocksdb",
+        "statestore scan decodes RocksDB SST+changelog into typed key/value structs",
+    ),
+    (
+        "g_serial_stream_replay",
+        "sink read-back: parse+agg stay JVM-side over the exactly-once parquet",
+    ),
 ]
 
 

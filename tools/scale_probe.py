@@ -138,6 +138,24 @@ PROBES = [
     "u_map_in_arrow",           # Arrow-batch Python stage over lineitem xk:
                                 # batch count grows k-fold at constant batch
                                 # size — per-batch overhead amortizes, linear
+    # round-11 additions:
+    "stream_state_reader_rocksdb",  # RocksDB-checkpointed replay + offline
+                                # state read over events xk: the slice rows
+                                # grow ~k-fold through 4 fixed micro-batches
+                                # while the state key space stays 89 keys x 8
+                                # partitions — RocksDB store machinery (per
+                                # partition per batch) is the x1 wall, so the
+                                # exponent must stay well under 1 as rows
+                                # absorb into constant machinery; the reader
+                                # side re-reads constant-size state
+    "g_serial_stream_replay",   # serial byte-stream replay over lineitem xk:
+                                # ONE device = ONE reader partition by design
+                                # (SURVEY §6); the probe measures the honest
+                                # single-listener ceiling — line count grows
+                                # k-fold through a single Python reader, so
+                                # the wall is expected LINEAR in k (exp ~1);
+                                # engine-scale parallelism is listener count
+                                # (R1 fan-in), never splitting one port
 ]
 
 
