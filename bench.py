@@ -134,6 +134,7 @@ HEADLINE = [
     # round-11 additions
     "stream_state_reader_rocksdb",
     "g_serial_stream_replay",
+    "g_framelog_sink_stream",
 ]
 
 

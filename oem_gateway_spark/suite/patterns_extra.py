@@ -859,7 +859,16 @@ def g_serial_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(full_log, "rb") as f:
         payload = f.read()
     # Cut mid-line: first newline past 60%, then half of the next line.
+    # If 60% lands in the final line (degenerate tiny log), back off to
+    # the previous newline so a next line always exists to cut through;
+    # a log under 2 lines can't witness the offset contract at all.
+    if payload.count(b"\n") < 2:
+        raise ValueError(
+            "g_serial_stream_replay needs a >=2-line log to cut mid-line"
+        )
     nl = payload.index(b"\n", int(len(payload) * 0.6))
+    if nl == len(payload) - 1:
+        nl = payload.rindex(b"\n", 0, nl)
     next_nl = payload.index(b"\n", nl + 1)
     cut = nl + 1 + (next_nl - nl) // 2
 
@@ -917,6 +926,89 @@ def g_serial_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("price") * 100 + 0.5).cast("long")).alias(
             "sum_price_cents"
         ),
+    )
+
+
+@query(
+    "g_framelog_sink_stream",
+    oracle="""
+    SELECT CAST(event_id % 41 AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE user_id % 50 = 0
+    GROUP BY event_id % 41
+    """,
+)
+def g_framelog_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gateway's DELIVERY half (B4's batch-and-ack contract,
+    oemgatewaybuffer.py ~l.80) as a Spark 4 Python streaming DataSource
+    WRITER — the last quadrant of the Python DataSource surface
+    (sinks/framelog_sink.py; batch READ = g_framelog_batch, streaming
+    READ = g_serial_stream_replay, and this is the streaming WRITE with
+    its commit protocol driver-hash-proven).
+
+    New engine surface: executor-side Python ``write(iterator)`` per
+    partition per micro-batch plus the driver-side
+    ``commit(messages, batchId)`` / ``abort`` protocol — a different
+    execution path than foreachBatch (which hands the DRIVER a whole
+    DataFrame; here rows stream through per-task Python workers and
+    only WriterCommitMessages travel back).  The 4-batch event replay
+    (shared statereader export) writes integer frame lines
+    ('user event cents') through the sink; the read-back side scans
+    ONLY manifest-committed files — the sink's own exactly-once view,
+    equivalent to FileStreamSink's _spark_metadata discipline — and
+    rolls them up.  The result must hash-equal DuckDB recomputing from
+    the events slice, so a dropped task file, a double-committed
+    retry, or a mis-serialized row all drift the hash.  Cents are
+    computed JVM-side BEFORE the write so the text round trip is
+    integer-exact.  Manifest/orphan mechanics pinned in
+    tests/test_round11_ops.py (orphan files invisible, abort removes,
+    4 manifests with row counts).  Pure integer outputs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.sinks import framelog_sink
+    from oem_gateway_spark.suite.statestore_extra import (
+        _resume_scratch,
+        _scoped_conf,
+    )
+    from oem_gateway_spark.suite.streaming_batch import event_replay_batches
+
+    framelog_sink.register(spark)
+    stream = event_replay_batches(
+        spark, sf_dir, "statereader", lambda ev: F.col("event_id") % 4
+    ).select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    scratch = _resume_scratch()
+    sink_dir = os.path.join(scratch, "sink")
+    with _scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            stream.writeStream.format("oem_framelog_sink")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    files = framelog_sink.committed_files(sink_dir)
+    t = F.split("value", " ")
+    parsed = spark.read.text(files).select(
+        F.element_at(t, 1).cast("long").alias("user_id"),
+        F.element_at(t, 2).cast("long").alias("event_id"),
+        F.element_at(t, 3).cast("long").alias("cents"),
+    )
+    return parsed.groupBy((F.col("event_id") % 41).alias("node")).agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_eid"),
+        F.sum("cents").alias("sum_cents"),
     )
 
 

@@ -106,6 +106,10 @@ QUERIES = [
         "g_serial_stream_replay",
         "sink read-back: parse+agg stay JVM-side over the exactly-once parquet",
     ),
+    (
+        "g_framelog_sink_stream",
+        "manifest-scoped text scan: only committed files reach the rollup",
+    ),
 ]
 
 

@@ -148,6 +148,14 @@ PROBES = [
                                 # exponent must stay well under 1 as rows
                                 # absorb into constant machinery; the reader
                                 # side re-reads constant-size state
+    "g_framelog_sink_stream",   # Python streaming WRITER over events xk:
+                                # slice rows grow ~k-fold through 4 fixed
+                                # micro-batches x 8 partitions of executor-
+                                # side Python write() calls — per-task file +
+                                # manifest machinery is the x1 floor, row
+                                # serialization the linear term; expected
+                                # sub-linear until rows dominate (like
+                                # u_map_in_arrow's 0.79 tail shape)
     "g_serial_stream_replay",   # serial byte-stream replay over lineitem xk:
                                 # ONE device = ONE reader partition by design
                                 # (SURVEY §6); the probe measures the honest
