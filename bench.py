@@ -135,6 +135,7 @@ HEADLINE = [
     "stream_state_reader_rocksdb",
     "g_serial_stream_replay",
     "g_framelog_sink_stream",
+    "q_sql_script",
 ]
 
 

@@ -24,6 +24,11 @@ and sources/serial_source.py (streaming)):
   `_spark_metadata`, implemented in ~40 lines of visible protocol.
 - ``abort(messages, batchId)`` deletes whatever the failed batch's
   surviving tasks produced.
+- :class:`FrameLogBatchWriter` is the BATCH half of the same API
+  (``df.write.format("oem_framelog_sink")``): identical task protocol,
+  one whole-save ``_commits/batch.json`` manifest.  Don't point a batch
+  save and a streaming query at the SAME path — their manifests share
+  the _commits dir and committed_files() would union them.
 
 Scale: in local mode the executors share the driver's filesystem; on a
 real cluster ``path`` must be shared storage (object store / NFS) exactly
@@ -43,6 +48,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -98,6 +104,35 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
                 pass  # task died before rename; nothing became visible
 
 
+class FrameLogBatchWriter(DataSourceWriter):
+    """The BATCH write half of the same sink (``df.write.format(...)``):
+    identical task protocol, one manifest for the whole save — batch
+    commit() has no batchId, so the manifest is ``_commits/batch.json``
+    and a re-save replaces it (overwrite semantics at the manifest
+    layer; old data files become invisible orphans, same as a streaming
+    batch re-commit)."""
+
+    def __init__(self, options: dict):
+        self._w = FrameLogStreamWriter(options)
+        self.path = self._w.path
+
+    def write(self, iterator) -> FrameLogCommitMessage:
+        return self._w.write(iterator)
+
+    def commit(self, messages) -> None:
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        files = [m.file for m in messages if m is not None]
+        rows = sum(m.rows for m in messages if m is not None)
+        tmp = os.path.join(commits, ".batch.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batchId": None, "files": files, "rows": rows}, f)
+        os.rename(tmp, os.path.join(commits, "batch.json"))
+
+    def abort(self, messages) -> None:
+        self._w.abort(messages, batchId=-1)
+
+
 class FrameLogSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -105,6 +140,9 @@ class FrameLogSinkDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite) -> FrameLogStreamWriter:
         return FrameLogStreamWriter(self.options)
+
+    def writer(self, schema, overwrite) -> FrameLogBatchWriter:
+        return FrameLogBatchWriter(self.options)
 
 
 def register(spark) -> None:

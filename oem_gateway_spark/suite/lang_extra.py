@@ -317,3 +317,77 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.sum("l_orderkey").alias("sum_okey"),
     )
+
+
+@query(
+    "q_sql_script",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS t FROM lineitem),
+         steps AS (SELECT (g.range + 1) * 5 AS q FROM range(10) g),
+         cum AS (SELECT q,
+                        (SELECT count(*) FROM lineitem
+                          WHERE l_quantity <= q) AS c
+                 FROM steps),
+         cut AS (SELECT min(q) AS cutoff FROM cum, tot WHERE c >= t / 2)
+    SELECT CAST(l_orderkey % 5 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST((SELECT cutoff FROM cut) AS BIGINT) AS cutoff
+    FROM lineitem
+    WHERE l_quantity <= (SELECT cutoff FROM cut)
+    GROUP BY l_orderkey % 5
+    """,
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (SQL/PSM control flow): a BEGIN..END block with
+    DECLAREd local variables, scalar-subquery SETs, and a DATA-DEPENDENT
+    WHILE loop — a stride-5 search for the smallest quantity cutoff
+    covering half the table — whose result variable then parameterizes
+    the script's final grouped SELECT.
+
+    New engine surface: PROCEDURAL CONTROL FLOW AS A LANGUAGE ENTRANCE.
+    Every other iteration in the registry loops in Python on the driver
+    (pointer doubling, Lloyd's, BFS) or declaratively in one statement
+    (recursive CTE); here the ENGINE interprets the loop — condition
+    evaluation, variable scope, statement sequencing — from a single
+    spark.sql() call, the migration path for the DDL-heavy stored-proc
+    ETL a warehouse estate runs today.  Each WHILE iteration is a real
+    aggregation job (jobs-inside-a-statement, visible in the UI), and
+    the loop is guaranteed to terminate (cutoff reaches 50 = the
+    quantity domain max, where cnt == tot >= tot/2).  The DuckDB oracle
+    lowers the procedural search to set SQL (cumulative counts over the
+    stride grid + min over qualifying cutoffs), so the driver
+    hash-proves the loop's fixpoint — a wrong iteration count, an
+    off-by-one stride, or a variable-scope bug all land on a different
+    cutoff and drift every output row.  Scripting is enabled by default
+    on this Spark (4.1.2, spark.sql.scripting.enabled=true).  Execution
+    contract nuance, read off the returned plan: the script runs
+    EAGERLY inside spark.sql() (statement sequencing can't be lazy) and
+    the returned DataFrame is the final SELECT's materialized result
+    (LocalTableScan) — so a script's last statement should REDUCE
+    (aggregate/limit), never emit a table-sized row set through the
+    driver; this one returns 5 rows.  Pure integer outputs."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_script_src"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE tot BIGINT;
+          DECLARE cutoff INT = 0;
+          DECLARE cnt BIGINT = 0;
+          SET tot = (SELECT COUNT(*) FROM li_script_src);
+          WHILE cnt < tot / 2 DO
+            SET cutoff = cutoff + 5;
+            SET cnt = (SELECT COUNT(*) FROM li_script_src
+                        WHERE l_quantity <= cutoff);
+          END WHILE;
+          SELECT CAST(l_orderkey % 5 AS BIGINT) AS grp,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 CAST(cutoff AS BIGINT) AS cutoff
+          FROM li_script_src WHERE l_quantity <= cutoff
+          GROUP BY l_orderkey % 5;
+        END
+        """
+    )

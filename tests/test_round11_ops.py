@@ -125,6 +125,60 @@ def test_framelog_sink_commit_protocol(spark, tmp_path):
     assert total > 0
 
 
+def test_sql_script_locals_are_script_scoped(spark):
+    """q_sql_script's DECLAREd variables live for the script only: after
+    the script completes, referencing the local must fail — no state
+    leaks into the session (the property that makes scripts safe to run
+    concurrently from a shared session)."""
+    import pytest as _pytest
+
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["q_sql_script"].fn(spark, SF)
+    rows = df.collect()
+    assert rows and all(r.cutoff == rows[0].cutoff for r in rows)
+    # the stride-5 invariant: cutoff is a positive multiple of 5 <= 50
+    assert rows[0].cutoff % 5 == 0 and 0 < rows[0].cutoff <= 50
+    with _pytest.raises(Exception, match="(?i)cutoff"):
+        spark.sql("SELECT cutoff").collect()
+
+
+def test_framelog_sink_batch_writer_roundtrip(spark, tmp_path):
+    """The BATCH half of the Python DataSource writer
+    (df.write.format('oem_framelog_sink')): same task protocol, one
+    whole-save manifest; the committed view returns exactly the saved
+    rows and a re-save REPLACES the manifest (overwrite-at-the-
+    manifest-layer semantics)."""
+    from oem_gateway_spark.sinks import framelog_sink
+
+    framelog_sink.register(spark)
+    sink = str(tmp_path / "batch_sink")
+    df = spark.range(100).selectExpr(
+        "id", "id * 2 AS v", "id % 7 AS g"
+    )
+    df.write.format("oem_framelog_sink").option("path", sink).mode(
+        "append"
+    ).save()
+    mans = framelog_sink.committed_manifests(sink)
+    assert len(mans) == 1 and mans[0]["rows"] == 100
+    from pyspark.sql import functions as F
+
+    t = F.split("value", " ")
+    back = spark.read.text(framelog_sink.committed_files(sink)).select(
+        F.element_at(t, 1).cast("long").alias("id"),
+        F.element_at(t, 2).cast("long").alias("v"),
+    )
+    got = {(r.id, r.v) for r in back.collect()}
+    assert got == {(i, 2 * i) for i in range(100)}
+    # re-save: manifest replaced, not appended — still exactly 100 rows
+    df.write.format("oem_framelog_sink").option("path", sink).mode(
+        "append"
+    ).save()
+    mans = framelog_sink.committed_manifests(sink)
+    assert len(mans) == 1 and mans[0]["rows"] == 100
+    assert spark.read.text(framelog_sink.committed_files(sink)).count() == 100
+
+
 def test_code_changed_since_is_a_measured_behavior_whitelist(tmp_path):
     """r10 ADVICE: the rerun-mislabeling guard must key on paths the bench
     actually executes (oem_gateway_spark/** and bench.py), not on

@@ -156,6 +156,14 @@ PROBES = [
                                 # serialization the linear term; expected
                                 # sub-linear until rows dominate (like
                                 # u_map_in_arrow's 0.79 tail shape)
+    "q_sql_script",             # SQL-script WHILE search over lineitem xk:
+                                # ~5 loop iterations (quantity distribution
+                                # survives replication, so the cutoff and the
+                                # iteration count are factor-invariant), each
+                                # a full count scan — cost is iterations x
+                                # scan, expected flat-to-linear like the
+                                # scan-agg family; eager execution inside
+                                # fn() so the probe wall captures the loop
     "g_serial_stream_replay",   # serial byte-stream replay over lineitem xk:
                                 # ONE device = ONE reader partition by design
                                 # (SURVEY §6); the probe measures the honest
