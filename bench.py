@@ -252,16 +252,21 @@ def _baseline_comparison(
             base = json.load(f)
         base_queries: dict[str, float] = base["queries"]
         base_spin = base["load_context"]["cpu_calibration"]["spin_1t_sec"]
-    except (OSError, KeyError, ValueError, TypeError):
+        # Shape-dependent arithmetic stays INSIDE the guard (r11 review:
+        # a hand-edited baseline with "queries" as a list passed the
+        # loads above, then sum(.values()) raised AFTER the full timed
+        # run, losing the artifact — exactly the crash the null
+        # contract exists to prevent).
+        missing = set(base_queries) - timings.keys()
+        if missing or not base_spin:
+            return None
+        base_wall = round(sum(base_queries.values()), 3)
+        this_wall = round(sum(timings[q] for q in base_queries), 3)
+        spin = calib.get("spin_1t_sec")
+        spin_ratio = round(spin / base_spin, 4) if spin else None
+        raw = round(this_wall / base_wall, 4) if base_wall else None
+    except (OSError, KeyError, ValueError, TypeError, AttributeError):
         return None
-    missing = set(base_queries) - timings.keys()
-    if missing or not base_spin:
-        return None
-    base_wall = round(sum(base_queries.values()), 3)
-    this_wall = round(sum(timings[q] for q in base_queries), 3)
-    spin = calib.get("spin_1t_sec")
-    spin_ratio = round(spin / base_spin, 4) if spin else None
-    raw = round(this_wall / base_wall, 4) if base_wall else None
     return {
         "baseline_round": base.get("round"),
         "baseline_git_head": base.get("git_head"),

@@ -43,6 +43,7 @@ import dataclasses
 import glob
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql.datasource import (
@@ -57,6 +58,46 @@ from pyspark.sql.datasource import (
 class FrameLogCommitMessage(WriterCommitMessage):
     file: str
     rows: int
+
+
+# Crash litter older than this is reclaimed on the next commit: a live
+# write holds its .tmp for seconds (one micro-batch / one save), so an
+# hour-old tmp can only be a killed task's or driver's leftover.
+_TMP_MAX_AGE_SEC = 3600
+
+
+def _sweep_stale_tmp(*dirs: str) -> None:
+    now = time.time()
+    for d in dirs:
+        for tmp in glob.glob(os.path.join(d, ".*.tmp")):
+            try:
+                if now - os.path.getmtime(tmp) > _TMP_MAX_AGE_SEC:
+                    os.remove(tmp)
+            except OSError:
+                pass  # concurrently removed
+
+
+def _write_manifest(path: str, name: str, messages) -> None:
+    """One manifest protocol for both halves: tmp-write + atomic rename
+    into _commits/<name>.json; sweeps crash litter opportunistically
+    (r11 review: .json.tmp / .log.tmp from killed processes were never
+    reclaimed — invisible to readers but unbounded on a long-lived
+    path)."""
+    commits = os.path.join(path, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    _sweep_stale_tmp(commits, os.path.join(path, "data"))
+    files = [m.file for m in messages if m is not None]
+    rows = sum(m.rows for m in messages if m is not None)
+    tmp = os.path.join(commits, f".{name}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"batchId": name, "files": files, "rows": rows}, f)
+    os.rename(tmp, os.path.join(commits, f"{name}.json"))
+
+
+def _iter_manifests(path: str):
+    for mf in sorted(glob.glob(os.path.join(path, "_commits", "*.json"))):
+        with open(mf) as f:
+            yield json.load(f)
 
 
 class FrameLogStreamWriter(DataSourceStreamWriter):
@@ -85,14 +126,9 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
-        commits = os.path.join(self.path, "_commits")
-        os.makedirs(commits, exist_ok=True)
-        files = [m.file for m in messages if m is not None]
-        rows = sum(m.rows for m in messages if m is not None)
-        tmp = os.path.join(commits, f".{batchId}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"batchId": batchId, "files": files, "rows": rows}, f)
-        os.rename(tmp, os.path.join(commits, f"{batchId}.json"))
+        # Per-batch name: a replayed batch (crash recovery) re-commits
+        # the SAME name, replacing its manifest — never double-counting.
+        _write_manifest(self.path, str(batchId), messages)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -106,28 +142,30 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
 
 class FrameLogBatchWriter(DataSourceWriter):
     """The BATCH write half of the same sink (``df.write.format(...)``):
-    identical task protocol, one manifest for the whole save — batch
-    commit() has no batchId, so the manifest is ``_commits/batch.json``
-    and a re-save replaces it (overwrite semantics at the manifest
-    layer; old data files become invisible orphans, same as a streaming
-    batch re-commit)."""
+    identical task protocol, SaveMode honored at the manifest layer
+    (r11 review: the first version replaced the manifest regardless of
+    mode, so two mode("append") saves silently lost the first save's
+    rows): append writes a UNIQUE ``save-<uuid>.json`` manifest per
+    save (the committed view unions saves), overwrite clears every
+    existing manifest first (old data files become invisible orphans,
+    same as a streaming batch re-commit)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool):
         self._w = FrameLogStreamWriter(options)
         self.path = self._w.path
+        self.overwrite = overwrite
 
     def write(self, iterator) -> FrameLogCommitMessage:
         return self._w.write(iterator)
 
     def commit(self, messages) -> None:
-        commits = os.path.join(self.path, "_commits")
-        os.makedirs(commits, exist_ok=True)
-        files = [m.file for m in messages if m is not None]
-        rows = sum(m.rows for m in messages if m is not None)
-        tmp = os.path.join(commits, ".batch.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"batchId": None, "files": files, "rows": rows}, f)
-        os.rename(tmp, os.path.join(commits, "batch.json"))
+        if self.overwrite:
+            for mf in glob.glob(os.path.join(self.path, "_commits", "*.json")):
+                try:
+                    os.remove(mf)
+                except OSError:
+                    pass
+        _write_manifest(self.path, f"save-{uuid.uuid4().hex}", messages)
 
     def abort(self, messages) -> None:
         self._w.abort(messages, batchId=-1)
@@ -142,7 +180,7 @@ class FrameLogSinkDataSource(DataSource):
         return FrameLogStreamWriter(self.options)
 
     def writer(self, schema, overwrite) -> FrameLogBatchWriter:
-        return FrameLogBatchWriter(self.options)
+        return FrameLogBatchWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
@@ -153,19 +191,12 @@ def committed_files(path: str) -> list[str]:
     """The exactly-once read view: ONLY files named by a committed batch
     manifest exist; orphans in data/ (failed/retried/speculative tasks,
     or files replaced by a batch re-commit) are invisible."""
-    out: list[str] = []
-    for mf in sorted(glob.glob(os.path.join(path, "_commits", "*.json"))):
-        with open(mf) as f:
-            out.extend(
-                os.path.join(path, "data", name)
-                for name in json.load(f)["files"]
-            )
-    return out
+    return [
+        os.path.join(path, "data", name)
+        for man in _iter_manifests(path)
+        for name in man["files"]
+    ]
 
 
 def committed_manifests(path: str) -> list[dict]:
-    out = []
-    for mf in sorted(glob.glob(os.path.join(path, "_commits", "*.json"))):
-        with open(mf) as f:
-            out.append(json.load(f))
-    return out
+    return list(_iter_manifests(path))

@@ -856,21 +856,67 @@ def g_serial_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SerialFrameDataSource)
     full_log = _serial_stream_log(spark, sf_dir)
-    with open(full_log, "rb") as f:
-        payload = f.read()
     # Cut mid-line: first newline past 60%, then half of the next line.
-    # If 60% lands in the final line (degenerate tiny log), back off to
-    # the previous newline so a next line always exists to cut through;
-    # a log under 2 lines can't witness the offset contract at all.
-    if payload.count(b"\n") < 2:
-        raise ValueError(
-            "g_serial_stream_replay needs a >=2-line log to cut mid-line"
-        )
-    nl = payload.index(b"\n", int(len(payload) * 0.6))
-    if nl == len(payload) - 1:
-        nl = payload.rindex(b"\n", 0, nl)
-    next_nl = payload.index(b"\n", nl + 1)
+    # The cut is computed from BOUNDED windows and the halves copy in
+    # chunks (r11 review: the first version read the whole log into
+    # driver RAM and held both copies — 2x log size x probe factor for
+    # data the driver only needs ~128 KiB of; frame lines are ~30-60
+    # bytes, so a 64 KiB window holds thousands of them).
+    size = os.path.getsize(full_log)
+    _WIN = 1 << 16
+
+    with open(full_log, "rb") as f:
+        f.seek(int(size * 0.6))
+        win = f.read(_WIN)
+        nl_rel = win.find(b"\n")
+        if nl_rel < 0:
+            raise ValueError(
+                "g_serial_stream_replay: no newline within 64 KiB of the "
+                "60% point — not a line log"
+            )
+        nl = int(size * 0.6) + nl_rel
+        if nl == size - 1:
+            # 60% landed in the final line (degenerate tiny log): back
+            # off to the previous newline so a next line exists to cut
+            # through; a log under 2 lines can't witness the contract.
+            f.seek(max(0, nl - _WIN))
+            back = f.read(nl - max(0, nl - _WIN))
+            prev_rel = back.rfind(b"\n")
+            if prev_rel < 0:
+                raise ValueError(
+                    "g_serial_stream_replay needs a >=2-line log"
+                )
+            nl = max(0, nl - _WIN) + prev_rel
+        f.seek(nl + 1)
+        nxt = f.read(_WIN)
+        nxt_rel = nxt.find(b"\n")  # exists in the FILE: nl is not final
+        if nxt_rel < 0:
+            raise ValueError(
+                "g_serial_stream_replay: line after the cut point exceeds "
+                "64 KiB — not a frame log"
+            )
+        next_nl = nl + 1 + nxt_rel
     cut = nl + 1 + (next_nl - nl) // 2
+
+    def _copy_range(dst_mode: str, start: int, end: int, dst: str) -> None:
+        with open(full_log, "rb") as fsrc, open(dst, dst_mode) as fdst:
+            fsrc.seek(start)
+            remaining = end - start
+            while remaining > 0:
+                chunk = fsrc.read(min(1 << 20, remaining))
+                if not chunk:
+                    break
+                fdst.write(chunk)
+                remaining -= len(chunk)
+
+    def _count_lines(path: str) -> int:
+        n = 0
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    return n
+                n += chunk.count(b"\n")
 
     scratch = _resume_scratch()
     live = os.path.join(scratch, "serial.log")
@@ -893,20 +939,19 @@ def g_serial_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stateless source: shuffle partitions only shape the sink files.
     with _scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
-        with open(live, "wb") as f:
-            f.write(payload[:cut])
+        _copy_range("wb", 0, cut, live)
+        # lines wholly inside the phase-1 prefix; the split line must be
+        # counted by phase 2, not phase 1
+        phase1_complete = _count_lines(live)
         p1 = run_phase()
-        with open(live, "ab") as f:
-            f.write(payload[cut:])
+        _copy_range("ab", cut, size, live)
         p2 = run_phase()
     SERIAL_REPLAY_METRICS.update(
         {
             "phase1_rows": p1,
             "phase2_rows": p2,
-            "total_lines": payload.count(b"\n"),
-            # lines wholly inside the phase-1 prefix; the split line must
-            # be counted by phase 2, not phase 1
-            "phase1_complete_lines": payload[:cut].count(b"\n"),
+            "total_lines": _count_lines(full_log),
+            "phase1_complete_lines": phase1_complete,
         }
     )
     # The sink output is read lazily below, but the live log is not:

@@ -168,6 +168,12 @@ _OWNED_MAX_AGE_SEC = 6 * 3600
 _TMPFS_BASE = "/dev/shm/spark-graft-tmp"
 _FALLBACK_BASE = "/root/repo/.scratch"
 
+# Indirection for the free-space probe so the test can fake a full
+# tmpfs without monkeypatching the GLOBAL os.statvfs (r11 review: se.os
+# IS the shared module, so patching it starved every concurrent
+# statvfs caller in the process for the test's duration).
+_statvfs = os.statvfs
+
 
 def _sweep_stale_scratch(base: str) -> None:
     """Reclaim dead kill/resume scratch dirs (r10 review finding: the
@@ -223,7 +229,7 @@ def _resume_scratch() -> str:
     if os.path.isdir(tmpfs):
         _sweep_stale_scratch(tmpfs)  # reclaim BEFORE judging free space
         try:
-            st = os.statvfs(tmpfs)
+            st = _statvfs(tmpfs)
             usable = st.f_bavail * st.f_frsize >= 2 << 30
         except OSError:
             usable = False

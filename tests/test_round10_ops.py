@@ -481,7 +481,10 @@ def test_resume_scratch_sweeps_tmpfs_before_free_space_check(
         f_bavail = 0
         f_frsize = 4096
 
-    monkeypatch.setattr(se.os, "statvfs", lambda _p: FullFS())
+    # Patch the module-local indirection, NOT the global os.statvfs —
+    # se.os is the shared module and a process-wide fake would starve
+    # every concurrent statvfs caller (r11 review).
+    monkeypatch.setattr(se, "_statvfs", lambda _p: FullFS())
     d = se._resume_scratch()
     assert d.startswith(fallback), "full tmpfs must fall back to .scratch"
     assert swept_order[0] == tmpfs, "tmpfs swept BEFORE the space check"

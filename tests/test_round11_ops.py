@@ -145,10 +145,11 @@ def test_sql_script_locals_are_script_scoped(spark):
 
 def test_framelog_sink_batch_writer_roundtrip(spark, tmp_path):
     """The BATCH half of the Python DataSource writer
-    (df.write.format('oem_framelog_sink')): same task protocol, one
-    whole-save manifest; the committed view returns exactly the saved
-    rows and a re-save REPLACES the manifest (overwrite-at-the-
-    manifest-layer semantics)."""
+    (df.write.format('oem_framelog_sink')) honors SaveMode at the
+    manifest layer (r11 review: the first version replaced the manifest
+    regardless of mode, silently losing an append's prior rows): append
+    saves UNION in the committed view; overwrite clears every prior
+    manifest; the round trip is value-exact."""
     from oem_gateway_spark.sinks import framelog_sink
 
     framelog_sink.register(spark)
@@ -170,13 +171,51 @@ def test_framelog_sink_batch_writer_roundtrip(spark, tmp_path):
     )
     got = {(r.id, r.v) for r in back.collect()}
     assert got == {(i, 2 * i) for i in range(100)}
-    # re-save: manifest replaced, not appended — still exactly 100 rows
+    # append again: saves UNION (Spark's append contract)
     df.write.format("oem_framelog_sink").option("path", sink).mode(
         "append"
     ).save()
     mans = framelog_sink.committed_manifests(sink)
-    assert len(mans) == 1 and mans[0]["rows"] == 100
-    assert spark.read.text(framelog_sink.committed_files(sink)).count() == 100
+    assert len(mans) == 2 and sum(m["rows"] for m in mans) == 200
+    assert spark.read.text(framelog_sink.committed_files(sink)).count() == 200
+    # overwrite: prior manifests cleared, exactly this save remains
+    spark.range(7).selectExpr("id", "id AS v").write.format(
+        "oem_framelog_sink"
+    ).option("path", sink).mode("overwrite").save()
+    mans = framelog_sink.committed_manifests(sink)
+    assert len(mans) == 1 and mans[0]["rows"] == 7
+    assert spark.read.text(framelog_sink.committed_files(sink)).count() == 7
+
+
+def test_framelog_sink_sweeps_crash_tmp_litter(tmp_path):
+    """r11 review: .json.tmp / .log.tmp left by killed processes were
+    never reclaimed.  A commit() sweeps hour-old tmp litter from both
+    _commits and data; fresh tmps (a concurrent in-flight write) stay."""
+    import time as _time
+
+    from oem_gateway_spark.sinks.framelog_sink import (
+        FrameLogStreamWriter,
+        committed_files,
+    )
+
+    sink = str(tmp_path / "sink")
+    w = FrameLogStreamWriter({"path": sink})
+    m = w.write(iter([(1, 2, 3)]))
+    os.makedirs(os.path.join(sink, "_commits"), exist_ok=True)
+    old_tmp = os.path.join(sink, "_commits", ".9.json.tmp")
+    old_task = os.path.join(sink, "data", ".part-dead.log.tmp")
+    fresh_tmp = os.path.join(sink, "data", ".part-live.log.tmp")
+    for p in (old_tmp, old_task, fresh_tmp):
+        with open(p, "w") as f:
+            f.write("x")
+    two_hours = _time.time() - 7200
+    os.utime(old_tmp, (two_hours, two_hours))
+    os.utime(old_task, (two_hours, two_hours))
+    w.commit([m], batchId=0)
+    assert not os.path.exists(old_tmp), "stale manifest tmp reclaimed"
+    assert not os.path.exists(old_task), "stale task tmp reclaimed"
+    assert os.path.exists(fresh_tmp), "in-flight tmp must survive"
+    assert len(committed_files(sink)) == 1
 
 
 def test_code_changed_since_is_a_measured_behavior_whitelist(tmp_path):
@@ -277,3 +316,13 @@ def test_baseline_comparison_math_and_null_contract(tmp_path, monkeypatch):
     with open(os.path.join(here, "BENCH_BASELINE.json"), "w") as f:
         json.dump(base, f)
     assert bench._baseline_comparison(here, {"a": 1.0, "b": 1.0}, {}) is None
+    # a WRONG-SHAPED baseline (valid JSON, queries as a list) must null,
+    # never raise after the timed run (r11 review finding)
+    base["queries"] = ["a", "b"]
+    base["load_context"]["cpu_calibration"]["spin_1t_sec"] = 0.5
+    with open(os.path.join(here, "BENCH_BASELINE.json"), "w") as f:
+        json.dump(base, f)
+    assert (
+        bench._baseline_comparison(here, {"a": 1.0, "b": 1.0}, {"spin_1t_sec": 0.5})
+        is None
+    )
