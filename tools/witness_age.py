@@ -19,7 +19,7 @@ there drifted by round 5 (VERDICT r5 #3); this tool is now the source of
 truth — paste its output, don't hand-edit the list.
 
 The driver checks only the first ``--window`` (default 50) registry entries
-per round, so at 172 queries the steady-state age is ~4 rounds; the
+per round, so at 200+ queries the steady-state age is ~4 rounds; the
 histogram makes that visible and the proposal keeps it mechanical.
 """
 
