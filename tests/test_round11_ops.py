@@ -187,6 +187,31 @@ def test_framelog_sink_batch_writer_roundtrip(spark, tmp_path):
     assert spark.read.text(framelog_sink.committed_files(sink)).count() == 7
 
 
+def test_serial_reader_read_between_offsets_replays_exact_range(tmp_path):
+    """The recovery path the e2e never hits: readBetweenOffsets is what
+    Spark calls on RESTART for a batch that was planned but not
+    committed — it must deterministically re-yield EXACTLY the byte
+    range's lines (same bytes -> same rows, the exactly-once
+    precondition), independent of the live read() cursor."""
+    from oem_gateway_spark.sources.serial_source import (
+        SerialFrameSimpleReader,
+    )
+
+    log = str(tmp_path / "serial.log")
+    with open(log, "wb") as f:
+        f.write(b"10 1 2\r\n11 3 4\n12 5 6\r\npartial")
+    r = SerialFrameSimpleReader({"path": log})
+    rows, end = r.read(r.initialOffset())
+    assert [x[0] for x in rows] == ["10 1 2", "11 3 4", "12 5 6"]
+    assert end == {"pos": len(b"10 1 2\r\n11 3 4\n12 5 6\r\n")}
+    # replay the middle line's exact range — as a restart would
+    a = len(b"10 1 2\r\n")
+    b_ = a + len(b"11 3 4\n")
+    assert r.readBetweenOffsets({"pos": a}, {"pos": b_}) == [("11 3 4",)]
+    # full-range replay equals the original read
+    assert r.readBetweenOffsets({"pos": 0}, end) == rows
+
+
 def test_framelog_sink_sweeps_crash_tmp_litter(tmp_path):
     """r11 review: .json.tmp / .log.tmp left by killed processes were
     never reclaimed.  A commit() sweeps hour-old tmp litter from both
