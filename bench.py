@@ -136,6 +136,7 @@ HEADLINE = [
     "g_serial_stream_replay",
     "g_framelog_sink_stream",
     "q_sql_script",
+    "g_framelog_pushdown",
 ]
 
 

@@ -32,6 +32,14 @@ DEFAULT_CONF: dict[str, str] = {
     # at 100 TB the fact side never broadcasts, the dim side always should).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Python DataSource pushFilters (4.1): without this, ANY scan of a
+    # reader that implements pushFilters raises
+    # DATA_SOURCE_PUSHDOWN_DISABLED at planning — so the engine default
+    # is on, asserted per-query like every other runtime conf.  The
+    # shared-relation hazard it opens (one load() referenced twice in a
+    # plan with different pushable filters cross-contaminates) is
+    # documented in sources/framelog_source.py and pinned in tests.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Runtime bloom-filter join pruning on (Spark default); the app-side
     # scan threshold is listed so ensure_runtime_conf RESETS it after
     # q_bloom_prune lowers it to witness the injection at test scale —
@@ -80,6 +88,7 @@ RUNTIME_CONF_KEYS: tuple[str, ...] = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.files.maxPartitionBytes",
     "spark.sql.parquet.filterPushdown",
+    "spark.sql.python.filterPushdown.enabled",
     "spark.sql.optimizer.runtime.bloomFilter.enabled",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
     "spark.sql.cbo.enabled",

@@ -763,6 +763,72 @@ def g_framelog_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SERIAL_REPLAY_METRICS: dict[str, int] = {}
 
 
+@query(
+    "g_framelog_pushdown",
+    oracle="""
+    SELECT CAST(l_suppkey % 32 AS INT) AS node,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE (l_orderkey * 10 + l_linenumber) % 8 IN (2, 5)
+    GROUP BY 1
+    """,
+)
+def g_framelog_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATASOURCE FILTER PUSHDOWN (Spark 4.1 ``pushFilters``): a
+    shard-id predicate on the frame-log batch source is ACCEPTED by the
+    Python reader (sources/framelog_source.py) and executed as
+    PARTITION PRUNING — ``partitions()`` returns only the 2 of 8 shard
+    files matching ``shard IN (2, 5)``, so the pruned shards are never
+    opened, never cross the Python->JVM boundary, never parse.
+
+    New engine surface: the planning half of the Python DataSource API.
+    Every prior custom-source query scans everything and filters in the
+    JVM; here the predicate travels INTO the reader (plan shows
+    ``PushedFilters: [In(shard, [2,5])]`` with NO post-scan Filter node
+    — Spark trusts the acceptance), which is the only shape that
+    survives 100 TB archives: a day/shard/device predicate must prune
+    capture files at the source, not stream them through Python to be
+    dropped.  Accepted filters are never re-checked, so THIS HASH is
+    the enforcement proof: under-pruning doubles counts, over-pruning
+    loses rows — either drifts every output row vs DuckDB recomputing
+    the same slice from lineitem (the log derives line_id =
+    l_orderkey*10+l_linenumber and shards by line_id % 8).
+
+    ``spark.sql.python.filterPushdown.enabled`` is an ENGINE DEFAULT
+    (session.py DEFAULT_CONF + RUNTIME_CONF_KEYS, asserted before every
+    query): once a reader implements pushFilters, scanning it with the
+    conf off raises DATA_SOURCE_PUSHDOWN_DISABLED at planning, so the
+    conf is part of the source's contract, not a per-query toggle.
+    SHARED-RELATION HAZARD (measured on 4.1.2, pinned in
+    tests/test_round11_ops.py): one load() referenced twice in a
+    single plan with different shard filters cross-contaminates (both
+    branches get one branch's pruning — the relation holds ONE Python
+    reader, and its last-built scan leaks into filterless/sibling
+    scans).  The safe contract this engine follows everywhere: build a
+    FRESH load() per query plan; this query's plan references its
+    relation exactly once."""
+    from oem_gateway_spark.sources import framelog_source
+
+    framelog_source.register(spark)
+    logdir = _framelog_dir(spark, sf_dir)
+    raw = (
+        spark.read.format("oem_framelog")
+        .option("path", logdir)
+        .load()
+        .filter(F.col("shard").isin(2, 5))
+    )
+    t = F.split("line", " ")
+    parsed = raw.select(
+        F.element_at(t, 1).cast("int").alias("node"),
+        F.element_at(t, 2).cast("double").alias("qty"),
+    )
+    return parsed.groupBy("node").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("qty").cast("long")).alias("sum_qty"),
+    )
+
+
 def _serial_stream_log(spark: SparkSession, sf_dir: str) -> str:
     """One-file gateway frame log for the serial STREAMING source witness
     (same 'node qty disc price' line format as _framelog_dir, all

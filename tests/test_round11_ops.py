@@ -187,6 +187,82 @@ def test_framelog_sink_batch_writer_roundtrip(spark, tmp_path):
     assert spark.read.text(framelog_sink.committed_files(sink)).count() == 7
 
 
+def test_framelog_pushdown_prunes_partitions_and_plan(spark):
+    """g_framelog_pushdown's shape claims: the shard predicate reaches
+    the Python reader (PushedFilters in the plan, NO post-scan Filter
+    node on shard — Spark trusts the acceptance), and partitions() only
+    returns the 2 matching shard files of 8."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.plans import explain_str
+    from oem_gateway_spark.sources import framelog_source
+    from oem_gateway_spark.suite import REGISTRY
+    from oem_gateway_spark.suite.patterns_extra import _framelog_dir
+
+    df = REGISTRY["g_framelog_pushdown"].fn(spark, SF)
+    text = explain_str(df)
+    assert "PushedFilters: [In(shard, [2,5])]" in text, text
+    physical = text.split("== Physical Plan ==")[-1]
+    filter_lines = [
+        ln for ln in physical.splitlines()
+        if "Filter" in ln and "shard" in ln and "PushedFilters" not in ln
+    ]
+    assert not filter_lines, (
+        f"post-scan Filter on shard means the acceptance was not trusted: "
+        f"{filter_lines}"
+    )
+    framelog_source.register(spark)
+    logdir = _framelog_dir(spark, SF)
+    pruned = (
+        spark.read.format("oem_framelog").option("path", logdir).load()
+        .filter(F.col("shard").isin(2, 5))
+    )
+    assert pruned.rdd.getNumPartitions() == 2  # 2 shard files of 8
+    full = spark.read.format("oem_framelog").option("path", logdir).load()
+    assert full.rdd.getNumPartitions() == 8
+
+
+def test_framelog_pushdown_shared_relation_hazard_and_contract(spark):
+    """The measured 4.1.2 limitation the engine designs around: ONE
+    load() relation referenced twice in a single plan with different
+    pushable filters cross-contaminates (the relation holds one Python
+    reader; its last-built scan leaks into sibling scans).  The safe
+    contract — a FRESH load() per plan reference — gives the correct
+    union.  If a Spark upgrade fixes the shared case, this test fails
+    on the first assert and the docstring caveat can be dropped."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.sources import framelog_source
+    from oem_gateway_spark.suite.patterns_extra import _framelog_dir
+
+    framelog_source.register(spark)
+    logdir = _framelog_dir(spark, SF)
+
+    def load():
+        return (
+            spark.read.format("oem_framelog").option("path", logdir).load()
+        )
+
+    full_n = load().count()
+    eq2_n = load().filter(F.col("shard") == 2).count()
+    assert 0 < eq2_n < full_n
+    # the hazard: shared relation, filtered-union-full undercounts
+    shared = load()
+    contaminated = (
+        shared.filter(F.col("shard") == 2).unionByName(shared).count()
+    )
+    assert contaminated != eq2_n + full_n, (
+        "shared-relation pushdown contamination no longer reproduces — "
+        "Spark fixed it; drop the caveat in framelog_source/"
+        "g_framelog_pushdown docstrings and this pin"
+    )
+    # the contract: fresh load per reference is exact
+    exact = (
+        load().filter(F.col("shard") == 2).unionByName(load()).count()
+    )
+    assert exact == eq2_n + full_n
+
+
 def test_serial_reader_read_between_offsets_replays_exact_range(tmp_path):
     """The recovery path the e2e never hits: readBetweenOffsets is what
     Spark calls on RESTART for a batch that was planned but not

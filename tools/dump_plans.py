@@ -110,6 +110,10 @@ QUERIES = [
         "g_framelog_sink_stream",
         "manifest-scoped text scan: only committed files reach the rollup",
     ),
+    (
+        "g_framelog_pushdown",
+        "Python-source pushFilters: shard predicate prunes partitions, no post-scan Filter",
+    ),
 ]
 
 

@@ -156,6 +156,12 @@ PROBES = [
                                 # serialization the linear term; expected
                                 # sub-linear until rows dominate (like
                                 # u_map_in_arrow's 0.79 tail shape)
+    "g_framelog_pushdown",      # Python-source pushFilters over lineitem xk:
+                                # the shard IN (2,5) predicate always prunes
+                                # 6 of 8 capture files, so cost is linear in
+                                # the SURVIVING quarter of the log — the wall
+                                # must track the scan-parse family's shape,
+                                # never the full-log size times k
     "q_sql_script",             # SQL-script WHILE search over lineitem xk:
                                 # ~5 loop iterations (quantity distribution
                                 # survives replication, so the cutoff and the
