@@ -81,3 +81,47 @@ def innermost_join_leaf_names(df: DataFrame) -> list[str]:
     if not inner:
         return []
     return [leaf.toString().splitlines()[0] for leaf in leaves(inner[0])]
+
+
+def shared_python_tables(df: DataFrame) -> list[str]:
+    """Python-DataSource tables referenced MORE THAN ONCE by one plan.
+
+    The fresh-``load()``-per-plan contract
+    (sources/framelog_source.py:57): a Python DataSource relation holds
+    ONE reader, and on Spark 4.1.2 its last-built scan leaks into
+    sibling references of the same relation (measured: filtered-union-
+    full undercounts — pinned in
+    test_framelog_pushdown_shared_relation_hazard_and_contract).  This
+    walker makes the contract MECHANICAL: it returns the
+    ``PythonTable`` instances (by name + JVM identity) that appear
+    under two or more DataSourceV2Relation nodes of the ANALYZED plan.
+    Dataset references clone the relation NODE per use, but one
+    ``load()`` shares one underlying table object, while two
+    ``load()`` calls make two — so table identity is exactly
+    "same load() referenced twice" (probed on 4.1.2: shared load gave
+    one identityHashCode twice, fresh loads gave two distinct ones).
+
+    The full-registry oracle replay calls this on every suite query, so
+    a FUTURE query violating the contract fails loudly in the suite
+    instead of returning silently wrong rows (r11 VERDICT #2).
+    """
+    jvm = df._sc._jvm  # noqa: SLF001
+    seen: dict[int, str] = {}
+    dups: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getName().endswith("DataSourceV2Relation"):
+            table = node.table()
+            if table.getClass().getName().endswith("PythonTable"):
+                ident = jvm.java.lang.System.identityHashCode(table)
+                name = f"{table.name()}@{ident}"
+                if ident in seen:
+                    if name not in dups:
+                        dups.append(name)
+                else:
+                    seen[ident] = name
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().analyzed())  # noqa: SLF001
+    return dups

@@ -26,9 +26,13 @@ and sources/serial_source.py (streaming)):
   surviving tasks produced.
 - :class:`FrameLogBatchWriter` is the BATCH half of the same API
   (``df.write.format("oem_framelog_sink")``): identical task protocol,
-  one whole-save ``_commits/batch.json`` manifest.  Don't point a batch
-  save and a streaming query at the SAME path — their manifests share
-  the _commits dir and committed_files() would union them.
+  one whole-save manifest per save.  A batch save and a streaming query
+  pointed at the SAME path is an ERROR: the first commit stamps the
+  path's mode (``_commits/_MODE``) and the other half raises (r12;
+  previously a documented caveat).  Streaming manifests are namespaced
+  by a hash of the query's checkpointLocation, so a fresh-checkpoint
+  query re-pointed at a used path APPENDS to the prior run's committed
+  view instead of silently replacing its batch-0..N manifests.
 
 Scale: in local mode the executors share the driver's filesystem; on a
 real cluster ``path`` must be shared storage (object store / NFS) exactly
@@ -77,12 +81,61 @@ def _sweep_stale_tmp(*dirs: str) -> None:
                 pass  # concurrently removed
 
 
+def _claim_mode(path: str, mode: str) -> None:
+    """One path, one write HALF: the first commit stamps
+    ``_commits/_MODE`` ('stream' or 'batch'); the other half committing
+    to the same path raises instead of silently unioning its manifests
+    into the first half's committed view (r11 VERDICT #3 — the
+    documented caveat becomes an error).  The marker is not ``*.json``
+    so an overwrite save's manifest sweep never removes it."""
+    commits = os.path.join(path, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    marker = os.path.join(commits, "_MODE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read().strip()
+        if have != mode:
+            raise ValueError(
+                f"oem_framelog_sink: path {path!r} already holds "
+                f"{have!r} commits; a {mode!r} write to the same path "
+                f"would union unrelated manifests in committed_files(). "
+                f"Point the {mode} write at its own path."
+            )
+        return
+    tmp = os.path.join(commits, f".{uuid.uuid4().hex}._MODE.tmp")
+    with open(tmp, "w") as f:
+        f.write(mode)
+    os.rename(tmp, marker)  # concurrent claimers race to the same value
+
+
+def _reclaim_orphans(path: str) -> None:
+    """Delete data files no surviving manifest references and older than
+    the tmp age bound (r11 ADVICE: overwrite clears manifests and batch
+    re-commits replace file lists, but the orphaned ``.log`` bytes were
+    never reclaimed, so a long-lived path grew without bound).  The age
+    bound keeps a CONCURRENT batch's just-renamed-but-not-yet-committed
+    files safe — an uncommitted file more than an hour old can only be
+    a dead run's litter, same reasoning as :func:`_sweep_stale_tmp`."""
+    referenced = {
+        name for man in _iter_manifests(path) for name in man["files"]
+    }
+    now = time.time()
+    for f in glob.glob(os.path.join(path, "data", "*.log")):
+        if os.path.basename(f) in referenced:
+            continue
+        try:
+            if now - os.path.getmtime(f) > _TMP_MAX_AGE_SEC:
+                os.remove(f)
+        except OSError:
+            pass  # concurrently removed
+
+
 def _write_manifest(path: str, name: str, messages) -> None:
     """One manifest protocol for both halves: tmp-write + atomic rename
     into _commits/<name>.json; sweeps crash litter opportunistically
     (r11 review: .json.tmp / .log.tmp from killed processes were never
     reclaimed — invisible to readers but unbounded on a long-lived
-    path)."""
+    path) and reclaims manifest-orphaned data files past the age bound."""
     commits = os.path.join(path, "_commits")
     os.makedirs(commits, exist_ok=True)
     _sweep_stale_tmp(commits, os.path.join(path, "data"))
@@ -92,6 +145,7 @@ def _write_manifest(path: str, name: str, messages) -> None:
     with open(tmp, "w") as f:
         json.dump({"batchId": name, "files": files, "rows": rows}, f)
     os.rename(tmp, os.path.join(commits, f"{name}.json"))
+    _reclaim_orphans(path)
 
 
 def _iter_manifests(path: str):
@@ -105,6 +159,26 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("oem_framelog_sink requires option 'path'")
+        # Manifest NAMESPACE (r11 ADVICE: manifests keyed only by batchId
+        # meant a fresh-checkpoint query re-pointed at a used path
+        # restarted at batchId 0 and REPLACED the prior run's manifests
+        # — silent row loss).  Spark forwards the writeStream options,
+        # including checkpointLocation, so the namespace is a hash of
+        # the checkpoint path: a restart FROM THE SAME CHECKPOINT keeps
+        # its namespace (batch replay still re-commits the same name —
+        # exactly-once holds), while a fresh-checkpoint query gets a new
+        # namespace and its manifests UNION with the old run's (append
+        # semantics, never silent loss).  Without a checkpointLocation
+        # option (conf-default checkpoints) the namespace is empty and
+        # the pre-r12 caveat applies.
+        import hashlib
+
+        ckpt = options.get("checkpointlocation")
+        self._ns = (
+            hashlib.sha256(ckpt.encode()).hexdigest()[:8] + "-"
+            if ckpt
+            else ""
+        )
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator) -> FrameLogCommitMessage:
@@ -126,9 +200,11 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
-        # Per-batch name: a replayed batch (crash recovery) re-commits
+        # Per-batch name inside the query's checkpoint namespace: a
+        # replayed batch (crash recovery, same checkpoint) re-commits
         # the SAME name, replacing its manifest — never double-counting.
-        _write_manifest(self.path, str(batchId), messages)
+        _claim_mode(self.path, "stream")
+        _write_manifest(self.path, f"{self._ns}{batchId}", messages)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -159,6 +235,7 @@ class FrameLogBatchWriter(DataSourceWriter):
         return self._w.write(iterator)
 
     def commit(self, messages) -> None:
+        _claim_mode(self.path, "batch")
         if self.overwrite:
             for mf in glob.glob(os.path.join(self.path, "_commits", "*.json")):
                 try:

@@ -37,6 +37,7 @@ import re
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     In,
     InputPartition,
@@ -84,11 +85,31 @@ class FrameLogReader(DataSourceReader):
         state["_pending"] = None
         return state
 
+    def _layout_filterable(self) -> bool:
+        """Pushdown is only safe when EVERY file's shard id parses from
+        its NAME.  The index fallback in :func:`_shard_id` keeps foreign
+        layouts scannable, but a sorted-glob INDEX shifts when files are
+        added or removed between plans — and Spark never re-checks an
+        accepted filter, so pruning against a shifted index would
+        silently return wrong rows (r11 ADVICE).  For such layouts every
+        filter is yielded back: Spark evaluates it post-scan against the
+        shard values the SAME scan emitted, which is consistent by
+        construction."""
+        files = glob.glob(os.path.join(self._path, "*.log"))
+        return bool(files) and all(
+            re.search(r"(\d+)\.log$", os.path.basename(f)) for f in files
+        )
+
     # -- planning side ------------------------------------------------------
     def pushFilters(self, filters):
         """Accept shard-column EqualTo/In (and the free IsNotNull); yield
-        everything else back for Spark to evaluate post-scan."""
+        everything else back for Spark to evaluate post-scan.  On an
+        index-fallback layout (any file not named *<digits>.log) nothing
+        is accepted — see :meth:`_layout_filterable`."""
         self._pending = None  # fresh plan: discard any prior plan's state
+        if not self._layout_filterable():
+            yield from filters
+            return
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("shard",):
                 wanted = {int(f.value)}
@@ -136,6 +157,114 @@ class FrameLogReader(DataSourceReader):
                     yield (shard, ln)
 
 
+def _line_frontier(path: str, lo: int = 0) -> int:
+    """Byte position just past the file's LAST newline (>= lo), scanning
+    BACKWARD in 64 KiB windows from EOF — the complete-line frontier a
+    planned offset may advance to.  O(tail) per poll, never O(file)."""
+    size = os.path.getsize(path)
+    win = 1 << 16
+    hi = size
+    with open(path, "rb") as f:
+        while hi > lo:
+            start = max(lo, hi - win)
+            f.seek(start)
+            chunk = f.read(hi - start)
+            nl = chunk.rfind(b"\n")
+            if nl >= 0:
+                return start + nl + 1
+            hi = start
+    return lo
+
+
+class FrameLogStreamReader(DataSourceStreamReader):
+    """Partition-PLANNED streaming tail of a sharded capture directory —
+    the non-Simple half of the Python streaming-read API.
+
+    The serial source (sources/serial_source.py) is a
+    ``SimpleDataSourceStreamReader``: ONE read() cursor, one partition
+    per micro-batch — right for one device.  A capture DIRECTORY is
+    many devices appending concurrently (R1's fan-in), so this reader
+    implements the planned API instead: ``latestOffset()`` snapshots
+    every shard file's complete-line frontier on the driver,
+    ``partitions(start, end)`` returns ONE InputPartition PER GROWN
+    FILE — executors read the byte ranges in parallel within a single
+    micro-batch — and ``read(partition)`` re-reads exactly the planned
+    [start, end) range, which makes recovery replay deterministic by
+    construction (same bytes -> same rows).
+
+    Offsets are ``{file_name: consumed_bytes}`` dicts (JSON-checkpointed
+    by Spark).  Frontiers stop at the last newline, so a mid-line tail
+    stays unconsumed until its newline arrives — the reference's
+    accumulate-until-'\\r\\n' contract (S1), now per shard.  New files
+    appearing between polls simply join the next snapshot (offset 0).
+
+    Shard ids must parse from file names (shard_<K>.log): a sorted-glob
+    index is NOT stable while files are appearing, so foreign layouts
+    raise at planning instead of emitting drifting ids (same reasoning
+    as the batch reader's pushdown gate).
+
+    Scale: parallelism per micro-batch = number of concurrently-growing
+    shard files; driver planning cost is one stat + tail-window read
+    per file per trigger.  The Python hop yields raw lines only —
+    tokenize/cast stay JVM-side."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("oem_framelog: 'path' option is required")
+        self._path = path
+
+    def _files(self) -> list[str]:
+        files = sorted(glob.glob(os.path.join(self._path, "*.log")))
+        bad = [
+            os.path.basename(f)
+            for f in files
+            if not re.search(r"(\d+)\.log$", os.path.basename(f))
+        ]
+        if bad:
+            raise ValueError(
+                f"oem_framelog streaming: shard id must parse from the "
+                f"file name (shard_<K>.log); offending files: {bad}"
+            )
+        return files
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def latestOffset(self) -> dict:
+        # Monotone per file: frontier(f) only grows as bytes append.
+        return {
+            os.path.basename(f): _line_frontier(f) for f in self._files()
+        }
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts = []
+        for name, hi in sorted(end.items()):
+            lo = start.get(name, 0)
+            if hi > lo:
+                parts.append(
+                    InputPartition(
+                        (_shard_id(name, -1), os.path.join(self._path, name), lo, hi)
+                    )
+                )
+        return parts
+
+    def read(self, partition: InputPartition):
+        if partition is None:  # zero-partition batch (no file grew)
+            return
+        shard, path, lo, hi = partition.value
+        with open(path, "rb") as f:
+            f.seek(lo)
+            chunk = f.read(hi - lo)
+        for raw in chunk.split(b"\n")[:-1]:
+            ln = raw.decode("utf-8", errors="replace").rstrip("\r")
+            if ln.strip():
+                yield (shard, ln)
+
+    def commit(self, end: dict) -> None:
+        pass  # the capture files are the archive; nothing to release
+
+
 class FrameLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -146,6 +275,9 @@ class FrameLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return FrameLogReader(self.options)
+
+    def streamReader(self, schema: StructType) -> FrameLogStreamReader:
+        return FrameLogStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -1040,6 +1040,160 @@ def g_serial_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Witness numbers from the most recent g_framelog_stream_partitioned run
+# (pytest pin; same pattern as SERIAL_REPLAY_METRICS).
+FRAMELOG_STREAM_METRICS: dict[str, int] = {}
+
+
+@query(
+    "g_framelog_stream_partitioned",
+    oracle="""
+    SELECT CAST(l_suppkey % 32 AS INT) AS node,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_price_cents
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def g_framelog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-PLANNED Python streaming read — the one
+    quadrant-internal variant the registry had not witnessed (r11
+    VERDICT #5 named it): ``DataSourceStreamReader`` with driver-side
+    ``latestOffset()`` / ``partitions(start, end)`` planning and
+    MULTIPLE InputPartitions per micro-batch, vs the serial source's
+    ``SimpleDataSourceStreamReader`` (one cursor, one implicit
+    partition — g_serial_stream_replay).  One device is a byte stream;
+    a capture DIRECTORY is many devices appending concurrently — R1's
+    fan-in — and this is the API shape where executors read all grown
+    shards IN PARALLEL inside a single micro-batch.
+
+    The run witnesses the planned-offset contract end to end: phase 1
+    exposes a PREFIX of every shard — most cut at a line boundary near
+    60%, shard 0 cut MID-LINE (its tail must stay unconsumed: offsets
+    stop at each file's last-newline frontier), and the last shard held
+    back entirely (a device that comes online late).  An availableNow
+    query checkpoints the per-file byte offsets into an exactly-once
+    parquet FileStreamSink.  Phase 2 appends the remainders plus the
+    late shard, and a BRAND-NEW query resumes from the checkpointed
+    offset DICT: every split line must appear exactly once, whole, and
+    the late shard must enter the snapshot at offset 0.  The rollup
+    equals DuckDB recomputing from lineitem (the capture derives from
+    it, sharded by line_id % 8), so a lost range, re-read range, or
+    torn line drifts the hash.  Planner mechanics (one InputPartition
+    per grown file, deterministic range re-read) are pinned in
+    tests/test_round12_ops.py.
+
+    Scale: per-trigger parallelism = concurrently-growing shard files
+    (devices), the R1 fan-in axis; driver planning is one stat +
+    tail-window read per file per trigger; recovery replay re-reads
+    exact planned byte ranges, so it is deterministic by construction.
+    The Python hop yields raw lines only — tokenize/cast stay
+    JVM-side."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from oem_gateway_spark.sources import framelog_source
+    from oem_gateway_spark.suite.statestore_extra import (
+        _resume_scratch,
+        _scoped_conf,
+    )
+
+    framelog_source.register(spark)
+    src = _framelog_dir(spark, sf_dir)
+    shard_files = sorted(_glob.glob(os.path.join(src, "*.log")))
+
+    def cut_point(path: str, idx: int) -> int:
+        """Phase-1 byte count for this shard: 0 for the late shard,
+        mid-LINE for shard 0, else the first line boundary past 60%."""
+        if idx == len(shard_files) - 1:
+            return 0  # device comes online in phase 2
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            f.seek(int(size * 0.6))
+            win = f.read(1 << 16)
+        nl_rel = win.find(b"\n")
+        if nl_rel < 0:
+            raise ValueError(
+                f"g_framelog_stream_partitioned: no newline within 64 KiB "
+                f"of the 60% point of {path} — not a line log"
+            )
+        boundary = int(size * 0.6) + nl_rel + 1
+        if idx == 0 and boundary < size:
+            # cut a few bytes INTO the next line (never through its
+            # newline) so the mid-line tail-buffering is witnessed
+            with open(path, "rb") as f:
+                f.seek(boundary)
+                nxt = f.read(64)
+            frag = nxt.find(b"\n")
+            return boundary + max(1, (frag if frag >= 0 else len(nxt)) // 2)
+        return boundary
+
+    def copy_range(src_path: str, dst_path: str, start: int, end: int) -> None:
+        with open(src_path, "rb") as fsrc, open(dst_path, "ab") as fdst:
+            fsrc.seek(start)
+            remaining = end - start
+            while remaining > 0:
+                chunk = fsrc.read(min(1 << 20, remaining))
+                if not chunk:
+                    break
+                fdst.write(chunk)
+                remaining -= len(chunk)
+
+    scratch = _resume_scratch()
+    live = os.path.join(scratch, "capture")
+    os.makedirs(live, exist_ok=True)
+    ckpt = os.path.join(scratch, "ckpt")
+    out_dir = os.path.join(scratch, "out")
+
+    def run_phase() -> int:
+        q = (
+            spark.readStream.format("oem_framelog")
+            .option("path", live)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum((p.get("numInputRows") or 0) for p in q.recentProgress)
+
+    cuts = {f: cut_point(f, i) for i, f in enumerate(shard_files)}
+    with _scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        for f, cut in cuts.items():
+            if cut > 0:
+                copy_range(f, os.path.join(live, os.path.basename(f)), 0, cut)
+        p1 = run_phase()
+        for f, cut in cuts.items():
+            copy_range(
+                f, os.path.join(live, os.path.basename(f)), cut, os.path.getsize(f)
+            )
+        p2 = run_phase()
+    FRAMELOG_STREAM_METRICS.update(
+        {"phase1_rows": p1, "phase2_rows": p2, "n_shards": len(shard_files)}
+    )
+    shutil.rmtree(live, ignore_errors=True)
+
+    raw = spark.read.parquet(out_dir)
+    t = F.split("line", " ")
+    parsed = raw.select(
+        F.element_at(t, 1).cast("int").alias("node"),
+        F.element_at(t, 2).cast("double").alias("qty"),
+        F.element_at(t, 4).cast("double").alias("price"),
+    )
+    return parsed.groupBy("node").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("qty").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("price") * 100 + 0.5).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
 @query(
     "g_framelog_sink_stream",
     oracle="""

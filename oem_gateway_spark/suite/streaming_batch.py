@@ -703,6 +703,83 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_full_outer_join",
+    oracle="""
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream FULL OUTER interval join: every purchase emits
+    (NULL click_id when no same-user click follows within the hour) AND
+    every unmatched click emits (NULL purchase_id) — BOTH sides' state
+    must null-emit at watermark close.  This is a genuinely different
+    eviction shape from the left-outer twin: there only the LEFT
+    buffer's evictions produce rows, so a right-side eviction bug is
+    invisible; here a click evicted without its null-emission LOSES a
+    row and a double-emission DOUBLES one — either drifts the hash vs
+    the batch FULL JOIN oracle.  Same sentinel machinery as the left
+    twin (_stream_dir_with_sentinels): far-future events on both sides
+    push the global watermark past all real data so the closing
+    no-data batch flushes BOTH buffers; sentinels filter out by the
+    coalesced user key.
+
+    Scale: state is bounded by (watermark delay + join window) per
+    side, symmetric — the full-outer shape adds no extra state over
+    inner, only the null-emission pass at eviction; one shuffle of each
+    stream on user_id."""
+    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    d = _stream_dir_with_sentinels(spark, sf_dir)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def side(event_type: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return normalize_event_ts(s).filter(F.col("event_type") == event_type)
+
+    left = (
+        side("purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    right = (
+        side("click")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("r_user")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    table = _run_to_table(joined, mode="append", shuffle_partitions=8)
+    return table.filter(F.col("user_id") >= 0)
+
+
+@query(
     "stream_locf",
     oracle="""
     WITH gapped AS (

@@ -17,8 +17,22 @@ def _registry():
 
 @pytest.mark.parametrize("name", sorted(_registry().keys()))
 def test_query_matches_oracle(name, spark, duck):
+    from oem_gateway_spark.plans.explain import shared_python_tables
+
     spec = _registry()[name]
-    sdf = spec.fn(spark, SF_ORACLE).toPandas()
+    df = spec.fn(spark, SF_ORACLE)
+    # Mechanical fresh-load()-per-plan enforcement (r11 VERDICT #2): a
+    # registry query whose plan references one Python-source load()
+    # twice would return silently wrong rows (measured scan-state
+    # cross-contamination, framelog_source.py:57) — fail it loudly here
+    # before the value compare can green-wash it.
+    dups = shared_python_tables(df)
+    assert not dups, (
+        f"{name}: plan references a Python DataSource relation more than "
+        f"once ({dups}); build a FRESH load() per reference "
+        f"(sources/framelog_source.py fresh-load contract)"
+    )
+    sdf = df.toPandas()
     assert len(sdf) >= 0
     if spec.oracle is None:
         assert len(sdf) > 0, f"{name}: rows-only query returned empty"
