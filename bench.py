@@ -137,6 +137,10 @@ HEADLINE = [
     "g_framelog_sink_stream",
     "q_sql_script",
     "g_framelog_pushdown",
+    # round-12 additions
+    "g_framelog_stream_partitioned",
+    "stream_stream_full_outer_join",
+    "stream_stream_left_semi_join",
 ]
 
 

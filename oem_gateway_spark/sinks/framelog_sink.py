@@ -105,7 +105,16 @@ def _claim_mode(path: str, mode: str) -> None:
     tmp = os.path.join(commits, f".{uuid.uuid4().hex}._MODE.tmp")
     with open(tmp, "w") as f:
         f.write(mode)
-    os.rename(tmp, marker)  # concurrent claimers race to the same value
+    os.rename(tmp, marker)
+    # Two concurrent FIRST claimers with different modes race the
+    # rename; re-reading makes at least one of them fail loudly.
+    with open(marker) as f:
+        if f.read().strip() != mode:
+            raise ValueError(
+                f"oem_framelog_sink: concurrent {mode!r} and other-mode "
+                f"first commits raced on {path!r}; one half must move to "
+                f"its own path"
+            )
 
 
 def _reclaim_orphans(path: str) -> None:

@@ -238,6 +238,19 @@ class FrameLogStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # Capture files are append-only: a file that shrank or vanished
+        # between offsets means bytes the checkpoint says were consumed
+        # no longer exist — fail loudly (silent skip = silent data loss).
+        gone = [
+            n
+            for n, lo in start.items()
+            if n not in end or end[n] < lo
+        ]
+        if gone:
+            raise ValueError(
+                f"oem_framelog streaming: capture files shrank or vanished "
+                f"between offsets (append-only contract): {sorted(gone)}"
+            )
         parts = []
         for name, hi in sorted(end.items()):
             lo = start.get(name, 0)

@@ -588,6 +588,57 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, mode="append", shuffle_partitions=8)
 
 
+@query(
+    "stream_stream_left_semi_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT * FROM events WHERE event_type = 'click') c
+      WHERE c.user_id = p.user_id
+        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+    )
+    """,
+)
+def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream LEFT SEMI interval join: each purchase emits AT
+    MOST ONCE — on its first matching click within the following DAY (24 h —
+    wide enough that multi-match purchases exist at every test SF, so
+    the at-most-once contract is non-vacuous) — with no click columns.
+    A genuinely different emission/state contract from the inner twin
+    (which emits PER MATCH and must keep a matched left row buffered
+    for further matches): semi marks the left row done on first match,
+    so a duplicate emission (inner semantics leaking through) or a
+    dropped purchase with a real match both drift the hash vs the
+    batch EXISTS oracle.  Same single-batch bounded replay as the
+    inner twin: matches emit the batch they arrive, watermarks only
+    evict state for batches that never come, so the emitted set is
+    watermark-invariant.
+
+    Scale: semi state is STRICTLY SMALLER than inner — a matched left
+    row needs no further buffering — one shuffle of each stream on
+    user_id, same as the family."""
+    p = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    left = p.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "2 hours")
+    right = c.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 HOUR")),
+        "left_semi",
+    ).select("user_id", "purchase_id")
+    return _run_to_table(joined, mode="append", shuffle_partitions=8)
+
+
 def _stream_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     """Like :func:`_stream_dir`, plus one far-future sentinel event per
     join side (user_id = -1, ts = max(ts) + 30 days, written AFTER the

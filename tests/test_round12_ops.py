@@ -293,3 +293,96 @@ def test_stream_stream_full_outer_emits_both_null_sides(spark):
     assert counts.right_only > 0, "no right-eviction rows (click, NULL purchase)"
     assert counts.null_keys == 0
     assert counts.n > counts.left_only + counts.right_only, "no matched rows"
+
+
+def test_framelog_pushdown_parallelism_recovers_with_finer_capture(spark, tmp_path):
+    """r11 VERDICT #8: the x8 probe showed a pruned Python-source read
+    runs at parallelism = surviving FILE count (2 shard files -> 2
+    tasks, 30 cores idle).  The documented fix is to shard the CAPTURE
+    finer than the predicate's selectivity — shard id parses from the
+    trailing digits, so many files may carry one shard class.  This
+    pins the recovery: with 4 capture files per shard class, pruning to
+    one shard keeps 4 InputPartitions (4-way parallel), not 1, and the
+    rows still match the predicate exactly."""
+    d = str(tmp_path / "fine")
+    # 3 shard classes x 4 capture files each: c<i>_<shard>.log
+    _write_logs(
+        d,
+        {
+            f"c{i}_{k}.log": [f"{k} {i}.0 0.1 10.0"]
+            for i in range(4)
+            for k in range(3)
+        },
+    )
+    df = _framelog(spark, d).filter(F.col("shard") == 2)
+    assert df.count() == 4
+    assert df.rdd.getNumPartitions() == 4, (
+        "pruned scan should parallelize across all surviving capture "
+        "files of the matching shard class"
+    )
+    full = _framelog(spark, d)
+    assert full.rdd.getNumPartitions() == 12
+
+
+def test_framelog_stream_rejects_shrunken_or_vanished_files(tmp_path):
+    """Append-only contract: a capture file that shrank or vanished
+    between offsets means checkpoint-consumed bytes no longer exist —
+    planning must fail loudly, never silently skip the range."""
+    import pytest
+
+    from oem_gateway_spark.sources.framelog_source import (
+        FrameLogStreamReader,
+    )
+
+    d = str(tmp_path / "cap")
+    _write_logs(d, {"shard_0.log": ["0 1.0"], "shard_1.log": ["1 2.0"]})
+    r = FrameLogStreamReader({"path": d})
+    end = r.latestOffset()
+    # vanished file
+    os.remove(os.path.join(d, "shard_1.log"))
+    with pytest.raises(ValueError, match="shrank or vanished"):
+        r.partitions(end, r.latestOffset())
+    # shrunken file
+    with open(os.path.join(d, "shard_0.log"), "w") as f:
+        f.write("\n")
+    end2 = {"shard_0.log": r.latestOffset()["shard_0.log"]}
+    with pytest.raises(ValueError, match="shrank or vanished"):
+        r.partitions({"shard_0.log": end["shard_0.log"]}, end2)
+
+
+def test_stream_stream_left_semi_emits_at_most_once(spark):
+    """The semi join's distinctive contract vs the inner twin: each
+    purchase emits AT MOST ONCE even when several clicks match (inner
+    emits per match).  Non-vacuous: the data must actually contain a
+    multi-match purchase, and the semi set must equal the inner's
+    distinct left keys."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    from oem_gateway_spark.catalog import load_table
+
+    semi = REGISTRY["stream_stream_left_semi_join"].fn(spark, SF)
+    n, nd = semi.count(), semi.distinct().count()
+    assert n == nd, "semi emitted a purchase more than once"
+    # batch ground truth at the semi query's own 24 h window (the inner
+    # REGISTRY twin uses 1 h, where sf0.001 has no multi-match purchase)
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("c_ts")
+    )
+    matches = p.join(
+        c,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 HOUR")),
+    )
+    multi = (
+        matches.groupBy("purchase_id").count().filter(F.col("count") >= 2).count()
+    )
+    assert multi > 0, (
+        "no multi-match purchase at this SF — the at-most-once claim "
+        "is vacuous; widen the window"
+    )
+    assert n == matches.select("purchase_id").distinct().count()

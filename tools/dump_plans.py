@@ -114,6 +114,14 @@ QUERIES = [
         "g_framelog_pushdown",
         "Python-source pushFilters: shard predicate prunes partitions, no post-scan Filter",
     ),
+    (
+        "g_framelog_stream_partitioned",
+        "sink read-back: per-shard planned ranges landed exactly-once, parse+agg JVM-side",
+    ),
+    (
+        "stream_stream_full_outer_join",
+        "sink read-back: both-sides watermark-close null rows landed in the append table",
+    ),
 ]
 
 
