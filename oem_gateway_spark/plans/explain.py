@@ -106,7 +106,7 @@ def shared_python_tables(df: DataFrame) -> list[str]:
     instead of returning silently wrong rows (r11 VERDICT #2).
     """
     jvm = df._sc._jvm  # noqa: SLF001
-    seen: dict[int, str] = {}
+    seen: dict[int, list] = {}  # identityHashCode -> table refs (collisions!)
     dups: list[str] = []
 
     def walk(node) -> None:
@@ -115,13 +115,25 @@ def shared_python_tables(df: DataFrame) -> list[str]:
             if table.getClass().getName().endswith("PythonTable"):
                 ident = jvm.java.lang.System.identityHashCode(table)
                 name = f"{table.name()}@{ident}"
-                if ident in seen:
+                # identityHashCode is a 32-bit NON-unique hash: verify a
+                # repeat is the SAME object (reference equals) so two
+                # distinct fresh loads colliding on the hash never flag
+                # an innocent plan (r12 review).
+                if any(t.equals(table) for t in seen.get(ident, [])):
                     if name not in dups:
                         dups.append(name)
                 else:
-                    seen[ident] = name
+                    seen.setdefault(ident, []).append(table)
         for c in _jchildren(node):
             walk(c)
+        # Plans nested in EXPRESSIONS (scalar/EXISTS/IN subqueries) are
+        # not children(); a same-load() reference hiding in one is the
+        # same scan-state hazard (r12 review — probed: the subquery walk
+        # finds the shared PythonTable, including via a temp view over
+        # one load()).
+        sub = node.subqueries()
+        for i in range(sub.size()):
+            walk(sub.apply(i))
 
     walk(df._jdf.queryExecution().analyzed())  # noqa: SLF001
     return dups

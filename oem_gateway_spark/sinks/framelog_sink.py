@@ -102,19 +102,39 @@ def _claim_mode(path: str, mode: str) -> None:
                 f"Point the {mode} write at its own path."
             )
         return
+    # Atomic first-claim: hard-LINK a fully-written tmp into place.
+    # link() fails with EEXIST if any claimer beat us (unlike rename,
+    # which silently REPLACES — two concurrent different-mode claimers
+    # would both have passed a rename+re-read protocol; r12 review), and
+    # unlike O_EXCL+write the marker is never readable half-written.
     tmp = os.path.join(commits, f".{uuid.uuid4().hex}._MODE.tmp")
     with open(tmp, "w") as f:
         f.write(mode)
-    os.rename(tmp, marker)
-    # Two concurrent FIRST claimers with different modes race the
-    # rename; re-reading makes at least one of them fail loudly.
-    with open(marker) as f:
-        if f.read().strip() != mode:
+    try:
+        os.link(tmp, marker)
+    except FileExistsError:
+        with open(marker) as f:
+            have = f.read().strip()
+        if have != mode:
             raise ValueError(
-                f"oem_framelog_sink: concurrent {mode!r} and other-mode "
-                f"first commits raced on {path!r}; one half must move to "
-                f"its own path"
-            )
+                f"oem_framelog_sink: path {path!r} was concurrently "
+                f"claimed for {have!r} commits; point this {mode} write "
+                f"at its own path"
+            ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
+# Last orphan sweep per sink path: sweeping costs a full manifest read
+# + data-dir stat walk, and an orphan only becomes ELIGIBLE after
+# _TMP_MAX_AGE_SEC — so sweeping more often than the bound finds nothing
+# a later sweep wouldn't (r12 review: the unconditional per-commit sweep
+# made micro-batch commit cost O(total batches), quadratic over a
+# long-lived streaming query's life).
+_LAST_RECLAIM: dict[str, float] = {}
 
 
 def _reclaim_orphans(path: str) -> None:
@@ -124,11 +144,15 @@ def _reclaim_orphans(path: str) -> None:
     never reclaimed, so a long-lived path grew without bound).  The age
     bound keeps a CONCURRENT batch's just-renamed-but-not-yet-committed
     files safe — an uncommitted file more than an hour old can only be
-    a dead run's litter, same reasoning as :func:`_sweep_stale_tmp`."""
+    a dead run's litter, same reasoning as :func:`_sweep_stale_tmp`.
+    Runs at most once per age bound per path (see _LAST_RECLAIM)."""
+    now = time.time()
+    if now - _LAST_RECLAIM.get(path, 0.0) < _TMP_MAX_AGE_SEC:
+        return
+    _LAST_RECLAIM[path] = now
     referenced = {
         name for man in _iter_manifests(path) for name in man["files"]
     }
-    now = time.time()
     for f in glob.glob(os.path.join(path, "data", "*.log")):
         if os.path.basename(f) in referenced:
             continue
@@ -183,11 +207,18 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
         import hashlib
 
         ckpt = options.get("checkpointlocation")
-        self._ns = (
-            hashlib.sha256(ckpt.encode()).hexdigest()[:8] + "-"
-            if ckpt
-            else ""
-        )
+        if ckpt:
+            # Normalize spelling before hashing: '/ckpt/run1/' and
+            # '/ckpt/run1' are the SAME checkpoint, and a replayed batch
+            # must land in the SAME namespace to replace (not duplicate)
+            # its manifest (r12 review).  URI forms keep their scheme;
+            # only the path component normalizes.
+            scheme, sep, rest = ckpt.rpartition("://")
+            norm = os.path.normpath(rest) if rest else rest
+            key = f"{scheme}{sep}{norm}"
+            self._ns = hashlib.sha256(key.encode()).hexdigest()[:8] + "-"
+        else:
+            self._ns = ""
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator) -> FrameLogCommitMessage:

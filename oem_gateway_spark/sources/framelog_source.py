@@ -269,6 +269,16 @@ class FrameLogStreamReader(DataSourceStreamReader):
         with open(path, "rb") as f:
             f.seek(lo)
             chunk = f.read(hi - lo)
+        if len(chunk) != hi - lo:
+            # partitions() can only compare checkpointed offset DICTS; a
+            # file truncated between planning and execution (or during a
+            # crash-recovery replay) surfaces here — short data is data
+            # LOSS, never a quiet partial batch (r12 review).
+            raise ValueError(
+                f"oem_framelog streaming: {path} returned {len(chunk)} of "
+                f"the planned [{lo}, {hi}) bytes — capture file shrank "
+                f"(append-only contract)"
+            )
         for raw in chunk.split(b"\n")[:-1]:
             ln = raw.decode("utf-8", errors="replace").rstrip("\r")
             if ln.strip():

@@ -156,15 +156,37 @@ def event_replay_batches(spark: SparkSession, sf_dir: str, tag: str, slicer):
     )
 
 
+def _link_events(sf_dir: str, d: str) -> None:
+    """Symlink the events source into stream dir ``d``.  The testdata
+    ships a single FILE; a replicated corpus (tools/scale_probe.py)
+    ships a parquet DIRECTORY — whose part files must link individually,
+    because the flat file-stream listing does not recurse and a single
+    directory symlink silently reads as an EMPTY stream (r12 probe
+    finding: the x2+ join walls measured nothing)."""
+    import glob
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no part files under {src}")
+        for i, p in enumerate(parts):
+            link = os.path.join(d, f"events_{i:04d}.parquet")
+            if not os.path.exists(link):
+                os.symlink(p, link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source wants a DIRECTORY; testdata ships single
     parquet files.  Build (once) a scratch dir symlinking the events file."""
     safe = sf_dir.strip("/").replace("/", "_")
     d = os.path.join("/root/repo/.scratch", f"stream-events-{safe}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _link_events(sf_dir, d)
     return d
 
 
@@ -554,6 +576,67 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _purchase_click_sides(spark: SparkSession, sf_dir: str, sentinels: bool):
+    """The stream-stream join family's shared builder (r12 review: four
+    hand-rolled copies of the same projections drifted one fix away from
+    desynchronizing a twin from its oracle): watermarked purchase/click
+    sides over either the plain bounded replay (inner/semi — matches
+    emit the batch they arrive, no sentinel needed) or the
+    sentinel-augmented replay (outer joins — far-future events on both
+    sides advance the global watermark so the closing batch flushes
+    every pending outer row; see _stream_dir_with_sentinels)."""
+    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    if sentinels:
+        d = _stream_dir_with_sentinels(spark, sf_dir)
+        batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+        def src() -> DataFrame:
+            s = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            return normalize_event_ts(s)
+
+    else:
+        def src() -> DataFrame:
+            return _events_stream(spark, sf_dir)
+
+    left = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    right = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return left, right
+
+
+def _interval_match(hours: int):
+    """purchase<-click interval condition shared by the join family."""
+    return (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {hours} HOUR"))
+    )
+
+
 @query(
     "stream_stream_join",
     oracle="""
@@ -573,18 +656,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch it arrives — watermarks only evict state for batches that
     never come — so the emitted set is exactly the batch interval join,
     watermark-invariant.  Pinned by test_stream_stream_join_deterministic."""
-    p = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    c = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
-    left = p.select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
-    right = c.select(F.col("user_id").alias("r_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
-    lw = left.withWatermark("p_ts", "2 hours")
-    rw = right.withWatermark("c_ts", "2 hours")
-    joined = lw.join(
-        rw,
-        (F.col("user_id") == F.col("r_user"))
-        & (F.col("c_ts") >= F.col("p_ts"))
-        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
-    ).select("user_id", "purchase_id", "click_id")
+    left, right = _purchase_click_sides(spark, sf_dir, sentinels=False)
+    joined = left.join(right, _interval_match(1)).select(
+        "user_id", "purchase_id", "click_id"
+    )
     return _run_to_table(joined, mode="append", shuffle_partitions=8)
 
 
@@ -618,24 +693,10 @@ def stream_stream_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: semi state is STRICTLY SMALLER than inner — a matched left
     row needs no further buffering — one shuffle of each stream on
     user_id, same as the family."""
-    p = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    c = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
-    left = p.select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    ).withWatermark("p_ts", "2 hours")
-    right = c.select(
-        F.col("user_id").alias("r_user"),
-        F.col("ts").alias("c_ts"),
-    ).withWatermark("c_ts", "2 hours")
-    joined = left.join(
-        right,
-        (F.col("user_id") == F.col("r_user"))
-        & (F.col("c_ts") >= F.col("p_ts"))
-        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 HOUR")),
-        "left_semi",
-    ).select("user_id", "purchase_id")
+    left, right = _purchase_click_sides(spark, sf_dir, sentinels=False)
+    joined = left.join(right, _interval_match(24), "left_semi").select(
+        "user_id", "purchase_id"
+    )
     return _run_to_table(joined, mode="append", shuffle_partitions=8)
 
 
@@ -661,9 +722,7 @@ def _stream_dir_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(os.path.join(d, "zz_sentinel.parquet")):
         return d
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    _link_events(sf_dir, d)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     sent = (
         batch.select(F.max("ts").alias("mx"))
@@ -710,45 +769,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is bounded by (watermark delay + join window) per
     side; the join shuffles both streams on user_id once."""
-    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
-
-    ensure_nanos_conf(spark)
-    d = _stream_dir_with_sentinels(spark, sf_dir)
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-
-    def side(event_type: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
-        return normalize_event_ts(s).filter(F.col("event_type") == event_type)
-
-    left = (
-        side("purchase")
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
+    left, right = _purchase_click_sides(spark, sf_dir, sentinels=True)
+    joined = left.join(right, _interval_match(1), "left_outer").select(
+        "user_id", "purchase_id", "click_id"
     )
-    right = (
-        side("click")
-        .select(
-            F.col("user_id").alias("r_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = left.join(
-        right,
-        (F.col("user_id") == F.col("r_user"))
-        & (F.col("c_ts") >= F.col("p_ts"))
-        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    ).select("user_id", "purchase_id", "click_id")
     table = _run_to_table(joined, mode="append", shuffle_partitions=8)
     return table.filter(F.col("user_id") >= 0)
 
@@ -783,45 +807,8 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     side, symmetric — the full-outer shape adds no extra state over
     inner, only the null-emission pass at eviction; one shuffle of each
     stream on user_id."""
-    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
-
-    ensure_nanos_conf(spark)
-    d = _stream_dir_with_sentinels(spark, sf_dir)
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-
-    def side(event_type: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(batch.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
-        return normalize_event_ts(s).filter(F.col("event_type") == event_type)
-
-    left = (
-        side("purchase")
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    right = (
-        side("click")
-        .select(
-            F.col("user_id").alias("r_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = left.join(
-        right,
-        (F.col("user_id") == F.col("r_user"))
-        & (F.col("c_ts") >= F.col("p_ts"))
-        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
-        "full_outer",
-    ).select(
+    left, right = _purchase_click_sides(spark, sf_dir, sentinels=True)
+    joined = left.join(right, _interval_match(1), "full_outer").select(
         F.coalesce(F.col("user_id"), F.col("r_user")).alias("user_id"),
         "purchase_id",
         "click_id",

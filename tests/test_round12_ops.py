@@ -169,6 +169,7 @@ def test_framelog_sink_reclaims_aged_orphan_data_files(tmp_path):
     older than the age bound; referenced files and FRESH orphans (a
     concurrent in-flight batch's renamed-but-uncommitted output) stay."""
     from oem_gateway_spark.sinks.framelog_sink import (
+        _LAST_RECLAIM,
         _TMP_MAX_AGE_SEC,
         FrameLogStreamWriter,
         committed_files,
@@ -189,11 +190,18 @@ def test_framelog_sink_reclaims_aged_orphan_data_files(tmp_path):
     # age the REFERENCED file too: reference, not age, must protect it
     ref = os.path.join(data, m0.file)
     os.utime(ref, (past, past))
+    # the sweep is time-gated to the age bound (a commit storm must not
+    # pay a manifest walk per micro-batch): a commit right after the
+    # batch-0 sweep skips sweeping, so the aged orphan survives it
+    w.commit([w.write(iter([(9, 9)]))], batchId=2)
+    assert os.path.exists(aged), "sweep ran inside the time gate"
+    # once the gate expires (simulated), the next commit reclaims
+    _LAST_RECLAIM[sink] -= _TMP_MAX_AGE_SEC + 1
     w.commit([w.write(iter([(2, 2)]))], batchId=1)
     assert not os.path.exists(aged), "aged orphan survived commit"
     assert os.path.exists(fresh), "fresh orphan was reclaimed (race hazard)"
     assert os.path.exists(ref), "manifest-referenced file was reclaimed"
-    assert len(committed_files(sink)) == 2
+    assert len(committed_files(sink)) == 3
 
 
 def test_framelog_stream_planner_contract(tmp_path):

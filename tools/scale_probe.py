@@ -178,6 +178,30 @@ PROBES = [
                                 # the wall is expected LINEAR in k (exp ~1);
                                 # engine-scale parallelism is listener count
                                 # (R1 fan-in), never splitting one port
+    # round-12 additions:
+    "g_framelog_stream_partitioned",  # partition-PLANNED streaming tail over
+                                # lineitem xk: 8 shard files read in
+                                # PARALLEL within each micro-batch (one
+                                # InputPartition per grown file — the
+                                # Simple reader's single-cursor ceiling
+                                # lifted), so per-shard line count grows
+                                # k-fold across 8 concurrent Python
+                                # readers; expected machinery-bound at
+                                # small k (two availableNow queries +
+                                # checkpoint resume ~5 s floor), tail
+                                # approaching linear/8-way-amortized
+    "stream_stream_full_outer_join",  # events xk replicas are NEW users, so
+                                # join matches and buffered state grow
+                                # LINEARLY (no cross-replica matches);
+                                # both sides shuffle on user_id once;
+                                # watermark-close null emission is a
+                                # per-evicted-row cost — expected
+                                # micro-batch floor + linear term
+    "stream_stream_left_semi_join",   # same replica geometry; semi state is
+                                # strictly smaller than inner (matched
+                                # left rows drop immediately), so the
+                                # exponent must not exceed the full
+                                # outer twin's
 ]
 
 
