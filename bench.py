@@ -141,6 +141,7 @@ HEADLINE = [
     "g_framelog_stream_partitioned",
     "stream_stream_full_outer_join",
     "stream_stream_left_semi_join",
+    "u_udtf_analyze",
 ]
 
 

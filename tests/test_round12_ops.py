@@ -394,3 +394,30 @@ def test_stream_stream_left_semi_emits_at_most_once(spark):
         "is vacuous; widen the window"
     )
     assert n == matches.select("purchase_id").distinct().count()
+
+
+def test_udtf_analyze_polymorphism_contract(spark):
+    """u_udtf_analyze's structural claims: (a) one registered UDTF class
+    yields DIFFERENT analyzed schemas at two call sites (the static-
+    returnType twin cannot); (b) a NON-literal field list is rejected
+    at PLANNING (no single schema could serve the plan)."""
+    import pytest
+
+    from oem_gateway_spark.suite import REGISTRY
+
+    assert REGISTRY["u_udtf_analyze"].fn(spark, SF).count() > 0
+    two = spark.sql(
+        "SELECT t.* FROM src_udtf_poly s, "
+        "LATERAL json_fields(s.props, 'qty,sk') t LIMIT 1"
+    )
+    one = spark.sql(
+        "SELECT u.* FROM src_udtf_poly s, "
+        "LATERAL json_fields(s.props, 'sk') u LIMIT 1"
+    )
+    assert [f.name for f in two.schema.fields] == ["qty", "sk"]
+    assert [f.name for f in one.schema.fields] == ["sk"]
+    with pytest.raises(Exception, match="literal"):
+        spark.sql(
+            "SELECT t.* FROM src_udtf_poly s, "
+            "LATERAL json_fields(s.props, s.props) t"
+        ).collect()
