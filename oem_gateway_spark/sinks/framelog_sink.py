@@ -30,9 +30,15 @@ and sources/serial_source.py (streaming)):
   pointed at the SAME path is an ERROR: the first commit stamps the
   path's mode (``_commits/_MODE``) and the other half raises (r12;
   previously a documented caveat).  Streaming manifests are namespaced
-  by a hash of the query's checkpointLocation, so a fresh-checkpoint
-  query re-pointed at a used path APPENDS to the prior run's committed
-  view instead of silently replacing its batch-0..N manifests.
+  by a hash of the query's CANONICALIZED checkpointLocation (realpath
+  for local spellings — r13, _canonical_checkpoint), so a
+  fresh-checkpoint query re-pointed at a used path APPENDS to the prior
+  run's committed view instead of silently replacing its batch-0..N
+  manifests, while any spelling of the SAME checkpoint replays into the
+  same namespace.  Data files are stamped with their writer's id and
+  orphan reclamation scopes to the committing writer's own files (r13,
+  _reclaim_orphans), so concurrent queries sharing a path never reclaim
+  each other's in-flight output.
 
 Scale: in local mode the executors share the driver's filesystem; on a
 real cluster ``path`` must be shared storage (object store / NFS) exactly
@@ -47,6 +53,8 @@ import dataclasses
 import glob
 import json
 import os
+import posixpath
+import re
 import time
 import uuid
 
@@ -62,6 +70,40 @@ from pyspark.sql.datasource import (
 class FrameLogCommitMessage(WriterCommitMessage):
     file: str
     rows: int
+
+
+def _canonical_checkpoint(ckpt: str) -> str:
+    """Canonical form of a checkpointLocation SPELLING, so every spelling
+    of the same physical checkpoint lands in the same manifest namespace
+    (r12 ADVICE: the namespace hashed the raw string, so a crash-replayed
+    batch under a differently-spelled checkpoint — 'file:///ckpt/run1' vs
+    '/ckpt/run1', a symlinked path, a '..' segment — wrote a SECOND
+    manifest instead of replacing its own, and committed_files()
+    double-counted the replayed rows).  Local paths (no scheme, or a
+    file: URI with empty/localhost authority) resolve through
+    os.path.realpath: symlinks, relative forms, '.'/'..', duplicate and
+    trailing slashes all collapse to one physical spelling.  Remote URIs
+    lowercase the case-insensitive scheme+authority (RFC 3986 §3.1/§3.2.2)
+    and posixpath-normalize the path component — realpath has no meaning
+    off-box, so e.g. an hdfs path reached via two different symlinked
+    mounts is out of scope (byte-identical path component required, as
+    for every Hadoop FileSystem URI)."""
+    scheme, sep, rest = ckpt.partition("://")
+    if not sep:
+        return os.path.realpath(ckpt)
+    auth, _, path = rest.partition("/")
+    if scheme.lower() == "file" and auth.lower() in ("", "localhost"):
+        return os.path.realpath("/" + path)
+    return f"{scheme.lower()}://{auth.lower()}{posixpath.normpath('/' + path)}"
+
+
+# Writer id embedded in every data file name (see FrameLogStreamWriter.write):
+# reclamation scopes to the committing writer's own id, so one query's commit
+# can never delete a CONCURRENT query's renamed-but-not-yet-committed output
+# (r12 ADVICE — two streams with different checkpoints legally share a path).
+# Files without a parseable id (legacy names, hand-dropped litter) belong to
+# no live writer and stay reclaimable by anyone, age-gated.
+_WID_RE = re.compile(r"\.wid-([0-9a-f]{8}|anon)\.log$")
 
 
 # Crash litter older than this is reclaimed on the next commit: a live
@@ -137,7 +179,7 @@ def _claim_mode(path: str, mode: str) -> None:
 _LAST_RECLAIM: dict[str, float] = {}
 
 
-def _reclaim_orphans(path: str) -> None:
+def _reclaim_orphans(path: str, wid: str | None = None) -> None:
     """Delete data files no surviving manifest references and older than
     the tmp age bound (r11 ADVICE: overwrite clears manifests and batch
     re-commits replace file lists, but the orphaned ``.log`` bytes were
@@ -145,7 +187,22 @@ def _reclaim_orphans(path: str) -> None:
     bound keeps a CONCURRENT batch's just-renamed-but-not-yet-committed
     files safe — an uncommitted file more than an hour old can only be
     a dead run's litter, same reasoning as :func:`_sweep_stale_tmp`.
-    Runs at most once per age bound per path (see _LAST_RECLAIM)."""
+
+    SCOPE (r12 ADVICE): two streaming queries with different checkpoints
+    legally share one path, and a straggler batch can be in flight past
+    the age bound — so when ``wid`` is given, only files stamped with
+    THAT writer id (plus id-less litter no live writer can own) are
+    eligible; another query's output is never touched, however old.  A
+    writer's own namespace has one live query (Spark locks the
+    checkpoint), so its own unreferenced aged files can only be replaced
+    batch re-commits or dead-run litter.  ``wid=None`` (batch OVERWRITE,
+    which already clears every manifest on the path and is therefore
+    exclusive by semantics) reclaims regardless of id — this is what
+    keeps an overwrite-churned path bounded.  Dead runs' orphans under a
+    foreign id are reclaimed only by a later overwrite (or offline
+    cleanup): a bounded, documented leak traded for never racing a live
+    concurrent writer.  Runs at most once per age bound per path (see
+    _LAST_RECLAIM)."""
     now = time.time()
     if now - _LAST_RECLAIM.get(path, 0.0) < _TMP_MAX_AGE_SEC:
         return
@@ -154,8 +211,13 @@ def _reclaim_orphans(path: str) -> None:
         name for man in _iter_manifests(path) for name in man["files"]
     }
     for f in glob.glob(os.path.join(path, "data", "*.log")):
-        if os.path.basename(f) in referenced:
+        name = os.path.basename(f)
+        if name in referenced:
             continue
+        if wid is not None:
+            m = _WID_RE.search(name)
+            if m and m.group(1) != wid:
+                continue  # another writer's (possibly in-flight) output
         try:
             if now - os.path.getmtime(f) > _TMP_MAX_AGE_SEC:
                 os.remove(f)
@@ -163,12 +225,13 @@ def _reclaim_orphans(path: str) -> None:
             pass  # concurrently removed
 
 
-def _write_manifest(path: str, name: str, messages) -> None:
+def _write_manifest(path: str, name: str, messages, wid: str | None) -> None:
     """One manifest protocol for both halves: tmp-write + atomic rename
     into _commits/<name>.json; sweeps crash litter opportunistically
     (r11 review: .json.tmp / .log.tmp from killed processes were never
     reclaimed — invisible to readers but unbounded on a long-lived
-    path) and reclaims manifest-orphaned data files past the age bound."""
+    path) and reclaims manifest-orphaned data files past the age bound,
+    scoped to ``wid`` (see _reclaim_orphans)."""
     commits = os.path.join(path, "_commits")
     os.makedirs(commits, exist_ok=True)
     _sweep_stale_tmp(commits, os.path.join(path, "data"))
@@ -178,7 +241,7 @@ def _write_manifest(path: str, name: str, messages) -> None:
     with open(tmp, "w") as f:
         json.dump({"batchId": name, "files": files, "rows": rows}, f)
     os.rename(tmp, os.path.join(commits, f"{name}.json"))
-    _reclaim_orphans(path)
+    _reclaim_orphans(path, wid)
 
 
 def _iter_manifests(path: str):
@@ -208,17 +271,19 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
 
         ckpt = options.get("checkpointlocation")
         if ckpt:
-            # Normalize spelling before hashing: '/ckpt/run1/' and
-            # '/ckpt/run1' are the SAME checkpoint, and a replayed batch
-            # must land in the SAME namespace to replace (not duplicate)
-            # its manifest (r12 review).  URI forms keep their scheme;
-            # only the path component normalizes.
-            scheme, sep, rest = ckpt.rpartition("://")
-            norm = os.path.normpath(rest) if rest else rest
-            key = f"{scheme}{sep}{norm}"
+            # Canonicalize the spelling before hashing (r12 ADVICE):
+            # 'file:///ckpt/run1', '/ckpt/run1', '/ckpt/run1/', and a
+            # symlink to the same dir are ONE checkpoint, and a replayed
+            # batch must land in the SAME namespace to replace (not
+            # duplicate) its manifest — see _canonical_checkpoint.
+            key = _canonical_checkpoint(ckpt)
             self._ns = hashlib.sha256(key.encode()).hexdigest()[:8] + "-"
         else:
             self._ns = ""
+        # Writer id stamped into data file names; 'anon' when no
+        # checkpointLocation option reaches the writer (conf-default
+        # checkpoints — the documented shared-anon caveat).
+        self._wid = self._ns.rstrip("-") or "anon"
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator) -> FrameLogCommitMessage:
@@ -228,7 +293,7 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
         os.makedirs(data_dir, exist_ok=True)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        name = f"part-{pid:05d}-{uuid.uuid4().hex}.log"
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.wid-{self._wid}.log"
         tmp = os.path.join(data_dir, f".{name}.tmp")
         n = 0
         with open(tmp, "w") as f:
@@ -244,7 +309,7 @@ class FrameLogStreamWriter(DataSourceStreamWriter):
         # replayed batch (crash recovery, same checkpoint) re-commits
         # the SAME name, replacing its manifest — never double-counting.
         _claim_mode(self.path, "stream")
-        _write_manifest(self.path, f"{self._ns}{batchId}", messages)
+        _write_manifest(self.path, f"{self._ns}{batchId}", messages, self._wid)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -270,6 +335,10 @@ class FrameLogBatchWriter(DataSourceWriter):
         self._w = FrameLogStreamWriter(options)
         self.path = self._w.path
         self.overwrite = overwrite
+        # Per-save writer id (8 hex, the _WID_RE shape): concurrent
+        # APPEND saves on one path are legal, so each save's reclaim
+        # scopes to its own files (r12 ADVICE).
+        self._w._wid = uuid.uuid4().hex[:8]
 
     def write(self, iterator) -> FrameLogCommitMessage:
         return self._w.write(iterator)
@@ -282,7 +351,17 @@ class FrameLogBatchWriter(DataSourceWriter):
                     os.remove(mf)
                 except OSError:
                     pass
-        _write_manifest(self.path, f"save-{uuid.uuid4().hex}", messages)
+        # Overwrite asserts exclusive ownership of the path (it just
+        # cleared EVERY manifest, concurrent appends' included — the
+        # same contract as Spark's own overwrite save), so its reclaim
+        # is unscoped (wid=None) and keeps an overwrite-churned path
+        # bounded; append reclaims only its own save's files.
+        _write_manifest(
+            self.path,
+            f"save-{uuid.uuid4().hex}",
+            messages,
+            None if self.overwrite else self._w._wid,
+        )
 
     def abort(self, messages) -> None:
         self._w.abort(messages, batchId=-1)

@@ -1127,8 +1127,25 @@ def g_framelog_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
             with open(path, "rb") as f:
                 f.seek(boundary)
                 nxt = f.read(64)
-            frag = nxt.find(b"\n")
-            return boundary + max(1, (frag if frag >= 0 else len(nxt)) // 2)
+            # Skip leading newlines first (r12 ADVICE): when the byte AT
+            # the boundary is itself a newline (empty line), find() == 0
+            # made the old max(1, 0//2) cut land exactly AFTER it — a
+            # line-boundary cut that silently degraded the mid-line
+            # witness to an ordinary boundary cut.
+            lead = 0
+            while lead < len(nxt) and nxt[lead : lead + 1] == b"\n":
+                lead += 1
+            frag = nxt.find(b"\n", lead)
+            span = (frag if frag >= 0 else len(nxt)) - lead
+            if span <= 0:
+                return boundary  # window is all newlines; no line to cut into
+            cut = boundary + lead + max(1, span // 2)
+            # the last copied byte must sit strictly INSIDE a line, so
+            # phase 1 ends on an incomplete (tail-buffered) line
+            assert nxt[cut - boundary - 1 : cut - boundary] != b"\n", (
+                "mid-line cut landed on a line boundary"
+            )
+            return cut
         return boundary
 
     def copy_range(src_path: str, dst_path: str, start: int, end: int) -> None:

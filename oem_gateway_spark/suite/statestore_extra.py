@@ -40,6 +40,7 @@ import time
 from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from oem_gateway_spark.suite.patterns_extra import (
     UPSERT_LWW_ORACLE,
@@ -530,3 +531,74 @@ def stream_state_reader_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key.*", "value.*")
         .toDF("k", "n", "sum_eid")
     )
+
+
+from oem_gateway_spark.suite.streaming_batch import FULL_OUTER_JOIN_ORACLE
+
+
+@query("stream_stream_full_outer_rocksdb", oracle=FULL_OUTER_JOIN_ORACLE)
+def stream_stream_full_outer_rocksdb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL OUTER stream-stream interval join executed on the
+    ROCKSDB state store with CHANGELOG checkpointing — the r12 round's
+    documented-but-unwitnessed 100 TB guidance ("a long-lived outer
+    join belongs on RocksDB + changelog") made a green witness.
+
+    Why this shape specifically: the r12 x8 scaling probe measured the
+    default HDFS provider's full-state-snapshot-per-commit cost going
+    super-linear on exactly this query (tail exponent 1.22 — k batches
+    x k state), and the mitigation was only witnessed on the UPSERT
+    family's symmetric-hash-free state.  A stream-stream join keeps
+    FOUR state stores per partition (left/right x keyToNumValues/
+    keyWithIndexToValue), so the provider swap exercises a genuinely
+    different store layout than the single-store upsert twin.
+
+    Semantics must be BIT-IDENTICAL to the default-provider twin:
+    state-store choice is an execution detail, so this twin reuses the
+    same builder + join + sentinel machinery and hash-matches the SAME
+    batch FULL JOIN oracle (streaming_batch.FULL_OUTER_JOIN_ORACLE).
+    Provider liveness is recorded in
+    STATE_METRICS["stream_stream_full_outer_rocksdb"]: rocksdb* custom
+    metrics present + at least one .changelog file in the checkpoint
+    (pinned by tests/test_round13_ops.py)."""
+    from oem_gateway_spark.suite.streaming_batch import (
+        _interval_match,
+        _purchase_click_sides,
+    )
+
+    scoped = {
+        _PROVIDER_KEY: ROCKSDB_PROVIDER,
+        _CHANGELOG_KEY: "true",
+        _PARTITIONS_KEY: "8",
+    }
+    with _scoped_conf(spark, scoped):
+        left, right = _purchase_click_sides(spark, sf_dir, sentinels=True)
+        joined = left.join(right, _interval_match(1), "full_outer").select(
+            F.coalesce(F.col("user_id"), F.col("r_user")).alias("user_id"),
+            "purchase_id",
+            "click_id",
+        )
+        scratch = _resume_scratch()
+        ckpt = os.path.join(scratch, "ckpt")
+        name = f"rocksdb_fouter_{os.getpid()}_{next(_SEQ)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        STATE_METRICS["stream_stream_full_outer_rocksdb"] = {
+            "changelog_files": len(
+                glob.glob(
+                    os.path.join(ckpt, "state", "**", "*.changelog"),
+                    recursive=True,
+                )
+            ),
+            "custom": _custom_state_metrics(q),
+        }
+        table = spark.table(name)
+    return table.filter(F.col("user_id") >= 0)

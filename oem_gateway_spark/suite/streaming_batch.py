@@ -165,26 +165,52 @@ def _link_events(sf_dir: str, d: str) -> None:
     finding: the x2+ join walls measured nothing)."""
     import glob
 
+    def _ensure(link: str, target: str) -> None:
+        # Verify-then-link (r12 ADVICE): an existing entry is reused only
+        # if it is a live symlink to THIS target; a dangling link (source
+        # regenerated away), a link to an old layout's path, or a stray
+        # real file is evicted and re-linked — stale links coexisting
+        # with new ones double-read or fail the whole stream silently.
+        if os.path.islink(link):
+            if os.path.realpath(link) == os.path.realpath(target):
+                return
+            os.remove(link)
+        elif os.path.exists(link):
+            os.remove(link)
+        os.symlink(target, link)
+
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")))
         if not parts:
             raise FileNotFoundError(f"no part files under {src}")
         for i, p in enumerate(parts):
-            link = os.path.join(d, f"events_{i:04d}.parquet")
-            if not os.path.exists(link):
-                os.symlink(p, link)
+            _ensure(os.path.join(d, f"events_{i:04d}.parquet"), p)
+        # a shrunk re-replication leaves higher-indexed stale links
+        for extra in glob.glob(os.path.join(d, "events_*.parquet")):
+            idx = int(os.path.basename(extra)[7:11])
+            if idx >= len(parts):
+                os.remove(extra)
+        stray = os.path.join(d, "events.parquet")
+        if os.path.lexists(stray):
+            os.remove(stray)  # layout flipped file -> directory
     else:
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        _ensure(os.path.join(d, "events.parquet"), src)
+        for extra in glob.glob(os.path.join(d, "events_*.parquet")):
+            os.remove(extra)  # layout flipped directory -> file
 
 
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source wants a DIRECTORY; testdata ships single
-    parquet files.  Build (once) a scratch dir symlinking the events file."""
+    parquet files.  Build (once) a scratch dir symlinking the events file.
+    Keyed by the source fingerprint like _stream_dir_with_sentinels (r12
+    ADVICE): an in-place corpus regeneration gets a FRESH dir instead of
+    reusing one whose links may be stale; _link_events additionally
+    verifies reused links still resolve to the current source."""
     safe = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join("/root/repo/.scratch", f"stream-events-{safe}")
+    d = os.path.join(
+        "/root/repo/.scratch", f"stream-events-{safe}-{_source_fp(sf_dir)}"
+    )
     os.makedirs(d, exist_ok=True)
     _link_events(sf_dir, d)
     return d
@@ -203,7 +229,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(
-    result: DataFrame, mode: str, shuffle_partitions: int | None = None
+    result: DataFrame,
+    mode: str,
+    shuffle_partitions: int | None = None,
+    progress_sink: dict | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the materialized table.
@@ -233,6 +262,30 @@ def _run_to_table(
             .start()
         )
         q.awaitTermination()
+        if progress_sink is not None:
+            # Non-vacuity channel (same pattern as STATE_METRICS /
+            # FRAMELOG_STREAM_METRICS): which stateful operators actually
+            # ran, how many micro-batches, and the final watermark — so a
+            # pytest can pin a query's claimed execution shape without
+            # re-deriving it from the result hash.
+            progs = q.recentProgress or []
+            last = progs[-1] if progs else {}
+            progress_sink.update(
+                {
+                    "n_batches": len(progs),
+                    "stateful_operators": sorted(
+                        {
+                            so.get("operatorName")
+                            for p in progs
+                            for so in (p.get("stateOperators") or [])
+                            if so.get("operatorName")
+                        }
+                    ),
+                    "final_watermark": (last.get("eventTime") or {}).get(
+                        "watermark"
+                    ),
+                }
+            )
     finally:
         if prev is not None:
             spark.conf.set(key, prev)
@@ -777,17 +830,17 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.filter(F.col("user_id") >= 0)
 
 
-@query(
-    "stream_stream_full_outer_join",
-    oracle="""
+FULL_OUTER_JOIN_ORACLE = """
     SELECT COALESCE(p.user_id, c.user_id) AS user_id,
            p.event_id AS purchase_id, c.event_id AS click_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
-    """,
-)
+"""
+
+
+@query("stream_stream_full_outer_join", oracle=FULL_OUTER_JOIN_ORACLE)
 def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream FULL OUTER interval join: every purchase emits
     (NULL click_id when no same-user click follows within the hour) AND
@@ -901,3 +954,112 @@ def stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "event_id", "ts_ms", F.round("filled", 4).alias("filled")
     )
     return _run_to_table(result, mode="update", shuffle_partitions=8)
+
+
+# Execution-shape witness for the chained-stateful-operators query (see
+# _run_to_table's progress_sink); pinned by tests/test_round13_ops.py.
+JOIN_WINDOW_CHAIN_METRICS: dict = {}
+
+
+@query(
+    "stream_join_then_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS win_start,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           CAST(sum(c.event_id) AS BIGINT) AS sum_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+    GROUP BY 1
+    """,
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query: a stream-stream
+    interval join whose output feeds a downstream event-time tumbling
+    aggregation — purchases joined to the same user's clicks within the
+    following DAY (24 h, like the semi twin — wide enough that
+    multi-click purchases exist at every test SF), then matches rolled
+    up per purchase-day window.  Spark 4 supports multiple stateful
+    operators in one pipeline when event time flows through them (the
+    join's p_ts stays an event-time column on the join output, so the
+    day window binds to it); no prior suite query chains two stateful
+    operators (r12 VERDICT #6c — the join twins end at the join, the
+    window twins start at a source).
+
+    Correctness shape: the join emits matches as they arrive (inner
+    semantics), but the WINDOW rows only emit when the watermark —
+    propagated THROUGH the join with its 24 h interval delay — passes
+    each window's end.  The far-future sentinels on both sides push the
+    global watermark past every real day window on the closing batch,
+    so append mode flushes them all.  A window that closes early
+    (watermark propagated without the join delay) loses the join's
+    late-emitted matches; one that never closes emits nothing — either
+    drifts the hash vs the batch join+GROUP BY oracle.
+
+    PUSHDOWN TRAP (measured r13, the round's second shape finding): the
+    sentinel filter must NOT sit inside the streaming plan.  A
+    mid-stream ``filter(user_id >= 0)`` between join and agg is pushed
+    by Catalyst through the watermark nodes INTO both parquet scans
+    (predicate pushdown does not stop at EventTimeWatermark), so the
+    sentinel rows are filtered AT THE SOURCE, the watermark never
+    advances past the real data, and the last open window per side is
+    silently never emitted (observed: sources read the sentinel file
+    with numInputRows=0 and the final no-data batch never fires).
+    Sentinels are instead excluded AFTER materialization, like the
+    outer-join twins; their own far-future window never closes inside
+    the replay, so it cannot leak a row either way.
+
+    Shape note (a MEASURED r13 rejection): streaming aggregation cannot
+    express count(DISTINCT user), and a THIRD chained stateful agg —
+    (window, user) pre-agg feeding a window rollup — loses exactly the
+    last open window per run: the middle agg emits a closed window W
+    only once the watermark passes W.end, and by then the downstream
+    agg's late-record filter is already past W.end, so whichever window
+    closes in the final no-data batch never reaches the outer agg
+    (observed at sf0.001/sf0.01: 24/25 and 28/30 windows).  The stream
+    therefore keys its ONE stateful aggregation by (window, user) and a
+    plain BATCH groupBy over the materialized bounded result collapses
+    users per window — the chained witness (join -> windowed agg) stays
+    intact, and the distinct moves to where it is exact and cheap.
+
+    Scale: join state bounded by watermark + 24 h interval per side
+    (one shuffle of each stream on user_id); the single downstream agg
+    shuffles once on the window key with map-side partial aggregation.
+    At 100 TB the chain runs as one checkpointed query: no intermediate
+    table, no re-read of the join output."""
+    left, right = _purchase_click_sides(spark, sf_dir, sentinels=True)
+    matches = left.join(right, _interval_match(24))
+    per_user = (
+        matches.groupBy(
+            F.window("p_ts", "1 day").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_m"),
+            F.sum("click_id").alias("sum_c"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "user_id",
+            "n_m",
+            "sum_c",
+        )
+    )
+    JOIN_WINDOW_CHAIN_METRICS.clear()
+    table = _run_to_table(
+        per_user,
+        mode="append",
+        shuffle_partitions=8,
+        progress_sink=JOIN_WINDOW_CHAIN_METRICS,
+    )
+    return (
+        table.filter(F.col("user_id") >= 0)  # see PUSHDOWN TRAP above
+        .groupBy("win_start")
+        .agg(
+            F.sum("n_m").alias("n_matches"),
+            F.count("*").alias("n_users"),
+            F.sum("sum_c").alias("sum_click_id"),
+        )
+    )

@@ -233,3 +233,84 @@ def u_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY u.sk
         """
     )
+
+
+@query(
+    "u_udtf_table_partition",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      FROM events WHERE user_id % 5 = 0
+    ), g AS (
+      SELECT user_id,
+             ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms) AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(gap) AS BIGINT) AS max_gap_ms
+    FROM g GROUP BY user_id
+    """,
+)
+def u_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE ARGUMENT (Spark 4): the function is
+    called over an INPUT RELATION — ``gap_stats(TABLE(v) PARTITION BY
+    user_id ORDER BY ts_ms)`` — not per scalar row via LATERAL.  This is
+    the third UDTF entrance after static-returnType (u_python_udtf) and
+    plan-time analyze() polymorphism (u_udtf_analyze), and the only one
+    where the ENGINE drives partition/order semantics: each partition's
+    rows stream through ``eval(row)`` IN THE REQUESTED ORDER on one
+    instance, and ``terminate()`` flushes that partition's aggregate —
+    user code holds running state across rows, which LATERAL cannot
+    express (each lateral call is stateless per input row).
+
+    The computed shape makes order semantics load-bearing: max gap
+    between CONSECUTIVE events per user is only defined by the ORDER BY
+    — an engine that fed rows unordered or split a user across
+    instances would drift the hash vs the batch lag() oracle.  (Gaps
+    over equal-ts ties are permutation-invariant — consecutive diffs of
+    a sorted multiset — so ORDER BY ts_ms alone is deterministic.)
+
+    Scale: PARTITION BY shuffles once on user_id and streams each
+    group through Python with O(1) state per instance — same data
+    movement as a groupBy, with arbitrary per-group sequential logic;
+    the 20% user slice keeps the per-row Python transfer a witness, not
+    a wall."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_ms bigint")
+    class GapStats:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._prev = None
+            self._max_gap = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            self._n += 1
+            if self._prev is not None:
+                gap = row["ts_ms"] - self._prev
+                if self._max_gap is None or gap > self._max_gap:
+                    self._max_gap = gap
+            self._prev = row["ts_ms"]
+
+        def terminate(self):
+            if self._n:
+                yield self._uid, self._n, self._max_gap
+
+    spark.udtf.register("gap_stats", GapStats)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", F.unix_millis("ts").alias("ts_ms"))
+    )
+    ev.createOrReplaceTempView("ev_udtf_tblarg")
+    return spark.sql(
+        """
+        SELECT t.user_id, t.n_events, t.max_gap_ms
+        FROM gap_stats(TABLE(ev_udtf_tblarg)
+                       PARTITION BY user_id ORDER BY ts_ms) t
+        """
+    )
