@@ -142,6 +142,11 @@ HEADLINE = [
     "stream_stream_full_outer_join",
     "stream_stream_left_semi_join",
     "u_udtf_analyze",
+    # round-13 additions
+    "stream_stream_full_outer_rocksdb",
+    "stream_join_then_window",
+    "stream_window_then_window",
+    "u_udtf_table_partition",
 ]
 
 

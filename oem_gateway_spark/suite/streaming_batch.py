@@ -281,6 +281,14 @@ def _run_to_table(
                             if so.get("operatorName")
                         }
                     ),
+                    # distinct count per batch: two chained windowed aggs
+                    # both report as 'stateStoreSave', so the NAME set
+                    # cannot distinguish one agg from two — the per-batch
+                    # operator count can.
+                    "n_stateful_operators": max(
+                        (len(p.get("stateOperators") or []) for p in progs),
+                        default=0,
+                    ),
                     "final_watermark": (last.get("eventTime") or {}).get(
                         "watermark"
                     ),
@@ -1063,3 +1071,97 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_c").alias("sum_click_id"),
         )
     )
+
+
+# Execution-shape witness for the chained window->window aggregation.
+WINDOW_CHAIN_METRICS: dict = {}
+
+
+@query(
+    "stream_window_then_window",
+    oracle="""
+    WITH half_hours AS (
+      SELECT CAST(to_timestamp((epoch_ms(ts) // 1800000) * 1800)
+               AS TIMESTAMP) AS hh,
+             event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(to_timestamp((epoch_ms(hh) // 7200000) * 7200) AS TIMESTAMP)
+             AS win_start,
+           event_type,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(max(c) AS BIGINT) AS peak_half_hour
+    FROM half_hours GROUP BY 1, 2
+    """,
+)
+def stream_window_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED event-time aggregations in ONE streaming query — the
+    documented Spark 3.4+/4 multi-agg pipeline: a 30-minute tumbling
+    pre-aggregation re-windowed into 2-hour buckets via
+    ``window(window_time(window), '2 hours')``.  window_time() is the
+    event-time handle on an aggregated window column (end - 1ms), which
+    is what lets the SECOND aggregation treat the first's output as an
+    event-time stream; a plain groupBy on the window struct does not
+    re-establish event time and cannot chain.
+
+    Distinct from stream_join_then_window on both axes: the upstream
+    stateful operator is an AGGREGATION (not a join — no interval delay
+    in the watermark propagation), and the downstream rollup computes
+    ``peak_half_hour`` = max over the inner windows' counts — a
+    statistic a single-level streaming agg CANNOT express (max-of-
+    count-per-subwindow requires the materialized inner counts), so the
+    two-level structure is witnessed by value, not just by plan.  The
+    far-future sentinels advance the watermark through BOTH aggs on the
+    closing batches so every real 2-hour window flushes in append mode;
+    sentinel rows land in their own far-future windows, which never
+    close inside the replay and therefore never emit (no post-filter
+    needed — pinned by the n_batches/operator metrics below).
+
+    Scale: both aggs partial-aggregate map-side; state is (windows x
+    event types) rows per level — time-bounded by the watermark, so
+    long-lived state never accumulates.  At 100 TB this is the standard
+    rollup-cascade shape (raw -> 30 min -> 2 h) executed as one
+    checkpointed query instead of three jobs re-reading each other's
+    output."""
+    d = _stream_dir_with_sentinels(spark, sf_dir)
+    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    ).withWatermark("ts", "2 hours")
+    inner = stream.groupBy(
+        F.window("ts", "30 minutes").alias("win30"),
+        F.col("event_type"),
+    ).agg(F.count("*").alias("c"))
+    outer = (
+        inner.groupBy(
+            F.window(F.window_time("win30"), "2 hours").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("c").alias("n"),
+            F.max("c").alias("peak_half_hour"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "peak_half_hour",
+        )
+    )
+    WINDOW_CHAIN_METRICS.clear()
+    table = _run_to_table(
+        outer,
+        mode="append",
+        shuffle_partitions=8,
+        progress_sink=WINDOW_CHAIN_METRICS,
+    )
+    # Sentinel windows never close inside the replay (watermark stops
+    # 2 h short of them), so no row filter is needed; keep a belt-and-
+    # braces guard against a future sentinel-geometry change.
+    return table.filter(F.col("win_start") < F.lit("2025-01-01"))

@@ -335,6 +335,7 @@ def test_join_then_window_chain_shape(spark):
     assert n == 25  # sf0.001 ground truth (DuckDB join+GROUP BY)
     m = JOIN_WINDOW_CHAIN_METRICS
     assert m["stateful_operators"] == ["stateStoreSave", "symmetricHashJoin"], m
+    assert m["n_stateful_operators"] == 2, m
     assert m["n_batches"] >= 3, (
         f"expected data + sentinel + no-data batches, got {m['n_batches']}"
     )
@@ -387,3 +388,31 @@ def test_udtf_table_partition_semantics(spark):
         ).collect()
     }
     assert got == {1: (3, 400), 2: (1, None), 3: (2, 800)}, got
+
+
+def test_window_then_window_chain_shape(spark):
+    """The window->window cascade must run BOTH aggregations as stateful
+    operators in one query, replay the sentinel batch, and flush every
+    real 2-hour window; peak_half_hour <= n with strict inequality
+    somewhere (the two-level structure is doing work)."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.suite.streaming_batch import (
+        WINDOW_CHAIN_METRICS,
+        stream_window_then_window,
+    )
+
+    out = stream_window_then_window(spark, SF).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    m = WINDOW_CHAIN_METRICS
+    # two stateful aggregations, no join
+    assert m["stateful_operators"] == ["stateStoreSave"], m
+    assert m["n_stateful_operators"] == 2, m
+    assert m["n_batches"] >= 3, m
+    assert m["final_watermark"] > "2024-02-20", m["final_watermark"]
+    assert all(r["peak_half_hour"] <= r["n"] for r in rows)
+    assert any(r["peak_half_hour"] < r["n"] for r in rows), (
+        "every 2h window had a single half-hour — peak stat vacuous"
+    )
+    out.unpersist()

@@ -202,6 +202,31 @@ PROBES = [
                                 # left rows drop immediately), so the
                                 # exponent must not exceed the full
                                 # outer twin's
+    # round-13 additions:
+    "stream_stream_full_outer_rocksdb",  # the full-outer twin on RocksDB +
+                                # changelog: per-batch DELTA commits
+                                # replace the HDFS provider's full-state
+                                # snapshot per commit, so the x8 tail
+                                # must undercut the default twin's
+                                # measured 1.22 (the r12 quadratic-onset
+                                # row this provider exists to fix)
+    "stream_join_then_window",  # chained join -> windowed agg: join state
+                                # linear (new-user replicas), agg state
+                                # bounded by (days x users); expected
+                                # micro-batch floor + linear term like
+                                # the inner twin
+    "u_udtf_table_partition",   # PARTITION BY shuffle + per-group Python
+                                # stream; rows/group constant across
+                                # replicas (new users) so expected
+                                # linear in groups — a super-linear
+                                # exponent would mean the Python hop
+                                # rebuffers across groups
+    "stream_window_then_window",  # chained window->window aggs: state is
+                                # (windows x event types) per level —
+                                # TIME-bounded, so replica growth adds
+                                # rows per window, not state rows;
+                                # expected near-flat (count-only inner
+                                # work) + micro-batch floor
 ]
 
 
