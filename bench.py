@@ -147,6 +147,7 @@ HEADLINE = [
     "stream_join_then_window",
     "stream_window_then_window",
     "u_udtf_table_partition",
+    "u_udtf_analyze_table",
 ]
 
 

@@ -314,3 +314,136 @@ def u_udtf_table_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY user_id ORDER BY ts_ms) t
         """
     )
+
+
+@query(
+    "u_udtf_analyze_table",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+             value,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      FROM events
+    )
+    SELECT bucket, 'ts_ms' AS col_name,
+           CAST(count(ts_ms) AS BIGINT) AS n,
+           CAST(min(ts_ms) AS DOUBLE) AS min_v,
+           CAST(max(ts_ms) AS DOUBLE) AS max_v
+    FROM src GROUP BY bucket
+    UNION ALL
+    SELECT bucket, 'value',
+           CAST(count(value) AS BIGINT),
+           round(min(value), 4), round(max(value), 4)
+    FROM src GROUP BY bucket
+    """,
+)
+def u_udtf_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH UDTF entrance — ``analyze()`` POLYMORPHISM OVER A
+    TABLE ARGUMENT, plus two function-requested planning features no
+    other entrance exercises:
+
+    - the output schema is derived from the INPUT TABLE'S SCHEMA at
+      plan time (``AnalyzeArgument.dataType`` is the table's struct;
+      one profile row per numeric column discovered there) — a column
+      added to the input table changes the OUTPUT rows with zero call-
+      site changes, which neither the literal-driven analyze twin
+      (u_udtf_analyze) nor the static TABLE-arg twin
+      (u_udtf_table_partition) can do;
+    - ``AnalyzeResult(partitionBy=...)``: the FUNCTION requests its
+      partitioning — Catalyst inserts the exchange on ``bucket`` and
+      REJECTS a call that spells its own PARTITION BY (pinned), i.e.
+      the partitioning contract lives with the function, not every
+      call site;
+    - ``AnalyzeResult(select=...)``: the function requests COLUMN
+      PRUNING — only the numeric columns + the partition key cross the
+      Python boundary even if the caller passes a wider table (the
+      UDTF-side twin of the r12 pushFilters witness: pushdown through
+      a Python boundary, requested from the Python side).
+
+    The profile itself uses count/min/max only — exact under any row
+    order and any accumulation grouping (no float-sum order
+    sensitivity), so the oracle is a plain per-bucket GROUP BY.
+
+    Scale: one exchange on the requested key, per-group O(#numeric
+    cols) state, pruned Arrow transfer — the general shape of a
+    schema-driven profiler at 100 TB (and the reason partitionBy-from-
+    analyze matters: callers cannot forget the exchange)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        PartitioningColumn,
+        SelectedColumn,
+    )
+
+    @udtf
+    class NumericProfile:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            if not t.isTable:
+                raise ValueError("numeric_profile expects TABLE(...) input")
+            numeric = [
+                f.name
+                for f in t.dataType.fields
+                if isinstance(f.dataType, (DoubleType, LongType))
+                and f.name != "bucket"
+            ]
+            if not numeric:
+                raise ValueError("numeric_profile: no numeric columns")
+            schema = (
+                StructType()
+                .add("bucket", LongType())
+                .add("col_name", StringType())
+                .add("n", LongType())
+                .add("min_v", DoubleType())
+                .add("max_v", DoubleType())
+            )
+            return AnalyzeResult(
+                schema=schema,
+                partitionBy=[PartitioningColumn("bucket")],
+                select=[SelectedColumn("bucket")]
+                + [SelectedColumn(c) for c in numeric],
+            )
+
+        def __init__(self):
+            self._bucket = None
+            self._stats: dict = {}
+
+        def eval(self, row):
+            d = row.asDict()
+            self._bucket = d.pop("bucket")
+            for name, v in d.items():
+                if v is None:
+                    continue
+                st = self._stats.get(name)
+                if st is None:
+                    self._stats[name] = [1, v, v]
+                else:
+                    st[0] += 1
+                    if v < st[1]:
+                        st[1] = v
+                    if v > st[2]:
+                        st[2] = v
+
+        def terminate(self):
+            for name in sorted(self._stats):
+                n, lo, hi = self._stats[name]
+                yield self._bucket, name, n, float(lo), float(hi)
+
+    spark.udtf.register("numeric_profile", NumericProfile)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("long").alias("bucket"),
+        F.round("value", 4).alias("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_type"),  # non-numeric: must be pruned, not profiled
+    )
+    ev.createOrReplaceTempView("ev_udtf_profile")
+    return spark.sql(
+        "SELECT * FROM numeric_profile(TABLE(ev_udtf_profile))"
+    )

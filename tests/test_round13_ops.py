@@ -416,3 +416,105 @@ def test_window_then_window_chain_shape(spark):
         "every 2h window had a single half-hour — peak stat vacuous"
     )
     out.unpersist()
+
+
+def test_udtf_analyze_table_contracts(spark):
+    """The analyze-over-TABLE-schema entrance's three contracts, pinned
+    on hand frames: (a) output rows are derived from the input table's
+    SCHEMA (adding a numeric column adds profile rows, zero call-site
+    change); (b) the function-requested partitionBy makes an explicit
+    PARTITION BY at the call site an ERROR; (c) the function-requested
+    select PRUNES non-numeric columns before the Python boundary (a
+    string column crossing would emit a bogus profile row and break
+    the schema contract)."""
+    import pytest
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructType
+    from pyspark.sql.udtf import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        PartitioningColumn,
+        SelectedColumn,
+    )
+
+    @udtf
+    class NumericProfile:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            numeric = [
+                f.name
+                for f in t.dataType.fields
+                if isinstance(f.dataType, (DoubleType, LongType))
+                and f.name != "bucket"
+            ]
+            schema = (
+                StructType()
+                .add("bucket", LongType())
+                .add("col_name", StringType())
+                .add("n", LongType())
+                .add("min_v", DoubleType())
+                .add("max_v", DoubleType())
+            )
+            return AnalyzeResult(
+                schema=schema,
+                partitionBy=[PartitioningColumn("bucket")],
+                select=[SelectedColumn("bucket")]
+                + [SelectedColumn(c) for c in numeric],
+            )
+
+        def __init__(self):
+            self._bucket, self._stats = None, {}
+
+        def eval(self, row):
+            d = row.asDict()
+            self._bucket = d.pop("bucket")
+            for name, v in d.items():
+                assert not isinstance(v, str), (
+                    f"non-numeric column {name!r} crossed the boundary"
+                )
+                if v is None:
+                    continue
+                st = self._stats.setdefault(name, [0, v, v])
+                st[0] += 1
+                st[1] = min(st[1], v)
+                st[2] = max(st[2], v)
+
+        def terminate(self):
+            for name in sorted(self._stats):
+                n, lo, hi = self._stats[name]
+                yield self._bucket, name, n, float(lo), float(hi)
+
+    spark.udtf.register("numeric_profile_pin", NumericProfile)
+    spark.createDataFrame(
+        [(0, 1.5, "a"), (0, 2.5, "b"), (1, -1.0, "c")],
+        "bucket long, x double, label string",
+    ).createOrReplaceTempView("prof_narrow")
+    got = {
+        (r["bucket"], r["col_name"]): (r["n"], r["min_v"], r["max_v"])
+        for r in spark.sql(
+            "SELECT * FROM numeric_profile_pin(TABLE(prof_narrow))"
+        ).collect()
+    }
+    # (c) label pruned (the eval assert would have fired), (a) one row
+    # per (bucket, numeric col)
+    assert got == {(0, "x"): (2, 1.5, 2.5), (1, "x"): (1, -1.0, -1.0)}, got
+
+    # (a) widen the schema -> new rows, same call text
+    spark.createDataFrame(
+        [(0, 1.5, 7, "a")], "bucket long, x double, y long, label string"
+    ).createOrReplaceTempView("prof_wide")
+    wide = spark.sql(
+        "SELECT * FROM numeric_profile_pin(TABLE(prof_wide))"
+    ).collect()
+    assert {r["col_name"] for r in wide} == {"x", "y"}
+
+    # (b) explicit PARTITION BY conflicts with the function's own
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            """
+            SELECT * FROM numeric_profile_pin(
+              TABLE(prof_narrow) PARTITION BY bucket)
+            """
+        ).collect()

@@ -122,6 +122,28 @@ QUERIES = [
         "stream_stream_full_outer_join",
         "sink read-back: both-sides watermark-close null rows landed in the append table",
     ),
+    # round 13 additions (streaming phase runs when built; dumped plan =
+    # the read-back/rollup side the driver hashes)
+    (
+        "stream_stream_full_outer_rocksdb",
+        "same join, RocksDB+changelog state: read-back identical to the HDFS twin (provider invisible in the plan)",
+    ),
+    (
+        "stream_join_then_window",
+        "chained join->agg read-back: sentinel filter AFTER materialization (pushdown trap), batch distinct rollup",
+    ),
+    (
+        "stream_window_then_window",
+        "window_time cascade read-back: sentinel windows never closed, no post-filter work",
+    ),
+    (
+        "u_udtf_table_partition",
+        "TABLE-arg UDTF: one exchange on PARTITION BY key, in-partition sort, per-group Python eval/terminate",
+    ),
+    (
+        "u_udtf_analyze_table",
+        "analyze-over-table-schema UDTF: function-requested exchange (partitionBy) + column pruning (select) visible as the pre-UDTF Project",
+    ),
 ]
 
 
