@@ -148,6 +148,14 @@ HEADLINE = [
     "stream_window_then_window",
     "u_udtf_table_partition",
     "u_udtf_analyze_table",
+    "u_sql_table_function",
+    "u_arrow_udf",
+    "q_try_arithmetic",
+    "q_session_variable",
+    "s_jl_projection",
+    "stream_dedup_then_window",
+    "u_apply_in_arrow",
+    "stream_observe_metrics",
 ]
 
 

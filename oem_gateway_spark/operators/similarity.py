@@ -23,6 +23,7 @@ Embedding dim is 64 (FIXTURES.md); planes are 8 -> 256 buckets.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -318,4 +319,112 @@ def lsh_ann_topk(
             F.round("cos_raw", 6).alias("cosine"),
             "rank",
         )
+    )
+
+
+# ------------------------------------------------- JL sign random projection
+#
+# Data-INDEPENDENT dimensionality reduction (Achlioptas/JL): proj = (1/sqrt(D))
+# * S @ v with S a fixed +-1 sign matrix.  No training pass, no fitted state to
+# version -- the matrix is a pure function of (j, i) via crc32, so every
+# executor (and the DuckDB oracle) regenerates it identically; at 100 TB the
+# projection is map-only Arrow-batched matmul, and downstream index builds
+# (IVF, LSH, quantization) run on JL_K-dim vectors instead of D-dim.
+
+JL_K = 32  # output dims; distortion std on cosine ~ 1/sqrt(JL_K)
+JL_SCALE = 0.125  # 1/sqrt(EMB_DIM=64): exactly representable, exact scaling
+
+
+def _jl_sign(j: int, i: int) -> float:
+    """+-1.0 from an md5 bit over a 'jl'-tagged (j, i) key.  NOT crc32
+    (the LSH-plane idiom): crc32 is GF(2)-linear, so its parity
+    factorizes as u_j XOR w_i — a rank-1 sign matrix whose projections
+    are all collinear (cos_proj = +-1, found live when the first cut of
+    this witness measured mean gap ~1.0).  md5's bits don't factorize."""
+    h = hashlib.md5(f"jl:{j}:{i}".encode()).digest()
+    return 1.0 if h[0] % 2 == 0 else -1.0
+
+
+JL_SIGNS: list[list[float]] = [
+    [_jl_sign(j, i) for i in range(EMB_DIM)] for j in range(JL_K)
+]
+
+
+def jl_project_pandas(vec: Column) -> Column:
+    """array<float>[D] -> array<double>[JL_K] via Arrow-batched numpy matmul
+    (the 100 TB hot path: one BLAS call per batch, no per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array(JL_SIGNS, dtype="float64")  # K x D
+
+    @pandas_udf("array<double>")
+    def _proj(xs: pd.Series) -> pd.Series:
+        xm = np.stack(xs.to_numpy()).astype("float64")  # n x D
+        pm = (xm @ signs.T) * JL_SCALE  # n x K
+        return pd.Series(list(pm))
+
+    return _proj(vec)
+
+
+def jl_project_sql_duckdb(vec_expr: str) -> str:
+    """DuckDB list literal of the same projection: K folds of the embedded
+    sign rows (left-to-right like the Spark HOF twin; the numpy path above
+    differs only past round(,6))."""
+    dims = []
+    for j in range(JL_K):
+        lit = "[" + ", ".join(str(v) for v in JL_SIGNS[j]) + "]"
+        dims.append(f"{JL_SCALE} * ({V.dot_sql_duckdb(vec_expr, lit)})")
+    return "[" + ", ".join(dims) + "]"
+
+
+def jl_distortion_pairs(emb: DataFrame, stride: int = 50) -> DataFrame:
+    """The projection WITNESS: for every pair in a deterministic sample
+    (vec_id % stride = 0), exact 64-dim cosine next to the JL_K-dim
+    projected cosine and their absolute gap -- the measurable form of the
+    JL guarantee (gap concentrates around 0 as JL_K grows).
+
+    Shape: sample is tiny (n/stride rows) -> broadcast self-join on
+    vec_id<, cosines are per-pair map work; nothing here scales with the
+    corpus beyond the initial pushed-down sample scan."""
+    s = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            jl_project_pandas(F.col("embedding")).alias("proj"),
+        )
+        .withColumn("n_e", V.norm_pandas(F.col("embedding")))
+        .withColumn("n_p", V.norm_pandas(F.col("proj")))
+    )
+    a = s.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("proj").alias("p_a"),
+        F.col("n_e").alias("ne_a"),
+        F.col("n_p").alias("np_a"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("proj").alias("p_b"),
+        F.col("n_e").alias("ne_b"),
+        F.col("n_p").alias("np_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            V.dot_pandas(F.col("e_a"), F.col("e_b"))
+            / (F.col("ne_a") * F.col("ne_b")),
+            6,
+        ).alias("cos_exact"),
+        F.round(
+            V.dot_pandas(F.col("p_a"), F.col("p_b"))
+            / (F.col("np_a") * F.col("np_b")),
+            6,
+        ).alias("cos_proj"),
+    )
+    return scored.withColumn(
+        "abs_gap", F.round(F.abs(F.col("cos_exact") - F.col("cos_proj")), 6)
     )

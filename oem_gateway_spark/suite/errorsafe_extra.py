@@ -1,0 +1,170 @@
+"""Round-13 operators: ANSI error-kernel and session-state SQL surfaces.
+
+- q_try_arithmetic    ERROR-SAFE EVALUATION under default-ANSI: the
+                      try_* function family turning data-dependent
+                      runtime errors (divide-by-zero, bigint overflow,
+                      unparsable cast, out-of-range element) into NULLs
+                      row-locally, on deliberately dirty derived data.
+- q_session_variable  SESSION STATE in the SQL layer: DECLARE / SET
+                      VAR with the value computed FROM a query, then
+                      consumed by EXECUTE IMMEDIATE dynamic SQL — the
+                      cross-statement dataflow `spark.sql(args=...)`
+                      cannot express.
+
+Reference: the gateway (SURVEY.md ~l.120) has no SQL; this is §2.6
+engine-beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oem_gateway_spark.catalog import load_table
+from oem_gateway_spark.suite.registry import query
+
+# try_multiply overflow boundary: 750 * _OVF_MULT = 9223372036854775500
+# <= int64 max, 751 * _OVF_MULT overflows -- so survivorship is an exact
+# key-range predicate the oracle can spell with CASE.
+_OVF_MULT = 12297829382473034
+
+
+@query(
+    "q_try_arithmetic",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(div_q) AS BIGINT) AS div_nulls,
+           MIN(div_q) AS div_min,
+           MAX(div_q) AS div_max,
+           CAST(COUNT(ovf) AS BIGINT) AS ovf_survivors,
+           CAST(MIN(ovf) AS BIGINT) AS ovf_min,
+           CAST(SUM(parsed) AS BIGINT) AS parsed_sum,
+           CAST(COUNT(*) - COUNT(parsed) AS BIGINT) AS parse_nulls,
+           CAST(COUNT(elem) AS BIGINT) AS elem_hits,
+           CAST(MIN(elem) AS BIGINT) AS elem_min
+    FROM (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity - 25.0 = 0 THEN NULL
+                  ELSE l_extendedprice / (l_quantity - 25.0) END AS div_q,
+             CASE WHEN l_orderkey <= 750 THEN l_orderkey * {_OVF_MULT}
+                  ELSE NULL END AS ovf,
+             TRY_CAST(CAST(l_linenumber AS VARCHAR) ||
+                      CASE WHEN l_returnflag = 'R' THEN '!' ELSE '' END
+                      AS INTEGER) AS parsed,
+             (list_value(l_orderkey, l_partkey, l_suppkey))[l_linenumber]
+               AS elem
+      FROM lineitem
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-SAFE KERNELS under default-ANSI: four deliberately dirty
+    expressions — divide by a derived zero (quantity 25 rows), bigint
+    multiply past the int64 boundary (exact edge: key 750 survives,
+    751 overflows), a cast of a string corrupted on 'R' rows, and an
+    element_at past the array arity — evaluated through try_divide /
+    try_multiply / Column.try_cast / try_element_at, which return NULL
+    row-locally instead of failing the task.
+
+    New engine surface: the ANSI ERROR KERNEL.  Spark 4 ships with
+    spark.sql.ansi.enabled=true (asserted in the test pin), so every
+    other query in the registry is implicitly betting that its data
+    never divides by zero or overflows — one dirty row would fail the
+    whole job, which at 100 TB means a multi-hour retry loop on a
+    poison record.  The try_* family is the row-local quarantine: the
+    error becomes a NULL the pipeline can count, route, or dead-letter
+    (the same philosophy as the gateway's validate-or-reject P3, here
+    at expression granularity instead of frame granularity).  The
+    oracle spells each kernel's exact semantics with guards (CASE for
+    zero/overflow, TRY_CAST, DuckDB's NULL-on-out-of-range list index),
+    so the driver hash-proves the NULL boundary row-for-row — including
+    the 2^62-scale overflow edge, where an off-by-one in the engine's
+    check would flip ovf_survivors.  No float summation: doubles only
+    reach MIN/MAX (order-exact); sums are over small exact ints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        "l_returnflag",
+        F.try_divide("l_extendedprice", F.col("l_quantity") - F.lit(25.0)).alias(
+            "div_q"
+        ),
+        F.try_multiply("l_orderkey", F.lit(_OVF_MULT)).alias("ovf"),
+        F.concat(
+            F.col("l_linenumber").cast("string"),
+            F.when(F.col("l_returnflag") == "R", F.lit("!")).otherwise(F.lit("")),
+        )
+        .try_cast("int")
+        .alias("parsed"),
+        F.try_element_at(
+            F.array("l_orderkey", "l_partkey", "l_suppkey"), F.col("l_linenumber")
+        ).alias("elem"),
+    )
+    return dirty.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count("div_q")).alias("div_nulls"),
+        F.min("div_q").alias("div_min"),
+        F.max("div_q").alias("div_max"),
+        F.count("ovf").alias("ovf_survivors"),
+        F.min("ovf").alias("ovf_min"),
+        F.sum("parsed").cast("bigint").alias("parsed_sum"),
+        (F.count("*") - F.count("parsed")).alias("parse_nulls"),
+        F.count("elem").alias("elem_hits"),
+        F.min("elem").alias("elem_min"),
+    )
+
+
+@query(
+    "q_session_variable",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > (SELECT MAX(o_totalprice) * 0.5 FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES + DYNAMIC SQL: a DECLAREd variable is SET
+    from a query result (half the max order price — dataflow from the
+    data INTO session state), then consumed by an EXECUTE IMMEDIATE
+    statement through a positional USING marker.  Three statements, one
+    value threaded through session state.
+
+    New engine surface: CROSS-STATEMENT SESSION STATE.  q_param_sql
+    binds values into ONE statement at parse time from the Python side;
+    variables are the SQL-native counterpart for compute-once-use-many
+    configuration — the cutoff is computed by the engine, never
+    round-trips through the driver as a Python float, and every later
+    statement in the session can read it (the pattern a SQL-facing
+    deployment of this engine needs for tenant thresholds and
+    calibration constants; the scripting BEGIN..END family in
+    q_sql_script builds on the same variable store).  EXECUTE
+    IMMEDIATE is the dynamic-SQL half: statement text arriving as a
+    value (config-driven query fragments) executed with bound
+    parameters instead of string interpolation.  The oracle inlines
+    the variable as a scalar subquery, so the driver hash-proves that
+    threading a value through DECLARE -> SET VAR -> USING equals
+    computing it in place.  MAX is order-exact; the *0.5 is one IEEE
+    multiply, identical in both engines; outputs are counts and
+    min/max only."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var_src")
+    spark.sql("DECLARE OR REPLACE VARIABLE gw_price_cut DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "SET VAR gw_price_cut = (SELECT MAX(o_totalprice) * 0.5 FROM orders_var_src)"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  COUNT(*) AS n,
+                  MIN(o_totalprice) AS min_price,
+                  MAX(o_totalprice) AS max_price
+           FROM orders_var_src
+           WHERE o_totalprice > ?
+           GROUP BY o_orderpriority'
+          USING gw_price_cut
+        """
+    )

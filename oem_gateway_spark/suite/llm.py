@@ -847,3 +847,53 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     into behind the decode seam."""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_media(M.attach_media(docs), target_bytes=192)
+
+
+# ------------------------------------------------ JL random projection (r13)
+
+def _jl_distortion_oracle(stride: int = 50) -> str:
+    proj = S.jl_project_sql_duckdb("embedding")
+    cos_e = V.cosine_sql_duckdb("a.embedding", "b.embedding")
+    cos_p = V.cosine_sql_duckdb("a.proj", "b.proj")
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {proj} AS proj
+      FROM embeddings WHERE vec_id % {stride} = 0),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({cos_e}, 6) AS cos_exact,
+             round({cos_p}, 6) AS cos_proj
+      FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_exact, cos_proj,
+           round(abs(cos_exact - cos_proj), 6) AS abs_gap
+    FROM pr
+    """
+
+
+@query("s_jl_projection", oracle=_jl_distortion_oracle())
+def s_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS SIGN PROJECTION, witnessed as a distortion
+    audit: every 64-dim embedding in a deterministic sample is projected
+    to 32 dims through a fixed +-1 matrix (crc32-derived, regenerated
+    identically on every executor AND inside the DuckDB oracle — no
+    fitted state), and every sample pair's projected cosine sits next to
+    its exact cosine with the absolute gap.
+
+    New engine surface: DATA-INDEPENDENT DIMENSIONALITY REDUCTION — the
+    missing first stage of the embedding family.  s_quantize_int8
+    shrinks the VALUE width (4x, same dims); this shrinks the DIMENSION
+    count (2x here, typically 24x for 1536-dim production embeddings)
+    with a distribution-free guarantee (JL: gap std ~ 1/sqrt(K)), no
+    training pass, and no model artifact to version — the matrix is a
+    pure function of (j, i).  At 100 TB: map-only Arrow-batched matmul
+    (one BLAS call per batch, zero shuffle), after which every
+    downstream index build (s_ivf_*'s k-means, s_ann_lsh's planes,
+    brute-force rerank) runs on K-dim vectors — the standard recipe for
+    taming web-scale ANN index cost.  The oracle recomputes the
+    projection by left-fold over the embedded sign rows and hash-proves
+    both cosines pair-for-pair; the distortion BOUND (mean gap, tail)
+    is pinned in tests/test_round13_ops.py, so the witness is the JL
+    guarantee itself, not just the arithmetic.  Floats only reach the
+    output through round(,6) (house float discipline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.jl_distortion_pairs(emb, stride=50)

@@ -1165,3 +1165,161 @@ def stream_window_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 h short of them), so no row filter is needed; keep a belt-and-
     # braces guard against a future sentinel-geometry change.
     return table.filter(F.col("win_start") < F.lit("2025-01-01"))
+
+
+# Execution-shape witness for the chained dedup->window aggregation.
+DEDUP_WINDOW_CHAIN_METRICS: dict = {}
+
+
+@query(
+    "stream_dedup_then_window",
+    oracle="""
+    SELECT CAST(to_timestamp((epoch_ms(ts) // 3600000) * 3600) AS TIMESTAMP)
+             AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED dedup -> windowed aggregation in ONE streaming query — the
+    third multi-stateful-operator combination (after join->window and
+    window->window): every event arrives TWICE (the stream unioned with
+    itself), dropDuplicatesWithinWatermark restores exactly-once, and
+    the survivors feed an event-time tumbling count/sum in append mode.
+    The agg makes double-delivery VISIBLE if dedup under-evicts or
+    over-evicts — every window's count would be exactly 2x (or short) —
+    so the hash-equality against the plain-table oracle witnesses the
+    dedup boundary, not just row survival (stream_dedup's row-level
+    twin witnesses survivors; this one witnesses the chain).
+
+    Why this chain is THE ingest front door at 100 TB: at-least-once
+    transports (Kafka redeliveries, the gateway's B5 HTTP retry path)
+    duplicate under failure, and the first stateful stage downstream is
+    almost always a windowed rollup — fusing dedup state (key x
+    watermark-bounded) and window state (windows x keys, closed by the
+    same watermark) into one checkpointed query avoids an intermediate
+    topic/table and a second job's re-read.  State on both levels is
+    time-bounded; RocksDB + changelog applies as witnessed on the
+    upsert/full-outer families.  Far-future sentinels advance the
+    watermark through BOTH operators on the closing batches (the
+    sentinel pair shares event_id=-1, so dedup keeps one — irrelevant:
+    sentinel windows never close inside the replay and thus never
+    emit; the post-filter is belt-and-braces)."""
+    d = _stream_dir_with_sentinels(spark, sf_dir)
+    from oem_gateway_spark.catalog import ensure_nanos_conf, normalize_event_ts
+
+    ensure_nanos_conf(spark)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def leg() -> DataFrame:
+        return normalize_event_ts(
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        ).withWatermark("ts", "2 hours")
+
+    deduped = leg().unionByName(leg()).dropDuplicatesWithinWatermark(["event_id"])
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    DEDUP_WINDOW_CHAIN_METRICS.clear()
+    table = _run_to_table(
+        agg,
+        mode="append",
+        shuffle_partitions=8,
+        progress_sink=DEDUP_WINDOW_CHAIN_METRICS,
+    )
+    return table.filter(F.col("win_start") < F.lit("2025-01-01"))
+
+
+# Raw per-batch observation rows for the observe() witness (pytest pin).
+OBSERVE_BATCH_ROWS: list = []
+
+
+@query(
+    "stream_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS n_clicks,
+           CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_high,
+           round(sum(value), 4) AS sum_value,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS min_ts_ms,
+           CAST(epoch_ms(max(ts)) AS BIGINT) AS max_ts_ms
+    FROM events
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-FLIGHT OBSERVED METRICS (`Dataset.observe`): the stream carries
+    an observation node — row count, click count, high-value count,
+    value sum, ts min/max — whose per-micro-batch values surface in the
+    StreamingQueryProgress WITHOUT a second scan or a separate
+    aggregation query; the entry folds the per-batch observations
+    (counts/sums add, min/max combine) and returns the lifetime totals,
+    which must hash-equal the oracle's one-pass batch aggregate.
+
+    New engine surface: the OBSERVABILITY channel (C6 upgraded from
+    logs to data).  Every other metric in the suite is either a query
+    RESULT or a pytest-read progress field; observe() is the production
+    contract for ingest-quality monitoring at 100 TB — the metrics ride
+    the existing pass (column pruning unaffected, one extra partial
+    aggregate), land on the driver per batch, and feed
+    alerting/admission decisions while the pipeline runs.  The fold
+    proving totals == batch aggregate is exactly the associativity
+    contract that makes per-batch observation trustworthy (a metric
+    that can't fold isn't a monitoring metric).  ts bounds observed as
+    unix_millis (bigint — no tz round-trip); sum rounded 4 after the
+    fold (house float discipline)."""
+    stream = _events_stream(spark, sf_dir)
+    observed = stream.observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("value") > 100, 1)).alias("n_high"),
+        F.sum("value").alias("sum_value"),
+        F.min(F.unix_millis("ts")).alias("min_ts_ms"),
+        F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+    )
+    name = f"stream_observe_{os.getpid()}_{next(_SEQ)}"
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    obs = [
+        p["observedMetrics"]["ingest_quality"]
+        for p in (q.recentProgress or [])
+        if (p.get("observedMetrics") or {}).get("ingest_quality")
+    ]
+    OBSERVE_BATCH_ROWS.clear()
+    OBSERVE_BATCH_ROWS.extend(obs)
+    total = {
+        "n_rows": sum(m["n_rows"] for m in obs),
+        "n_clicks": sum(m["n_clicks"] for m in obs),
+        "n_high": sum(m["n_high"] for m in obs),
+        "sum_value": round(sum(m["sum_value"] for m in obs), 4),
+        "min_ts_ms": min(m["min_ts_ms"] for m in obs),
+        "max_ts_ms": max(m["max_ts_ms"] for m in obs),
+    }
+    return spark.createDataFrame(
+        [total],
+        schema=(
+            "n_rows bigint, n_clicks bigint, n_high bigint, "
+            "sum_value double, min_ts_ms bigint, max_ts_ms bigint"
+        ),
+    ).select("n_rows", "n_clicks", "n_high", "sum_value", "min_ts_ms", "max_ts_ms")

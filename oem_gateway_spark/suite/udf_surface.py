@@ -14,6 +14,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa  # module-level: arrow_udf type hints must resolve
+                      # under `from __future__ import annotations`
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -306,4 +308,180 @@ def u_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = li.mapInArrow(qty_times_line, "l_returnflag string, qty_ln bigint")
     return mapped.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.sum("qty_ln").alias("sum_qty_ln")
+    )
+
+
+@query(
+    "u_sql_table_function",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_quantity, t.l_extendedprice
+    FROM orders o,
+         LATERAL (SELECT l_linenumber, l_quantity, l_extendedprice
+                  FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_linenumber <= 3) t
+    WHERE o.o_orderkey % 20 = 0
+    """,
+)
+def u_sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED TABLE FUNCTION: `CREATE TEMPORARY FUNCTION ... RETURNS
+    TABLE` whose body is a parameterized SELECT (line items 1-3 of an
+    order), invoked per-row through a correlated LATERAL join — the
+    argument is the outer query's column.
+
+    New engine surface: the DECLARATIVE table-function entrance.  The
+    registry's four Python UDTF entrances (u_python_udtf, the cogroup,
+    TABLE-PARTITION and analyze() variants) all cross a process
+    boundary: rows serialize to a Python worker that the optimizer
+    cannot see into.  A SQL table function is the opposite contract —
+    Catalyst INLINES the body at plan time, so the correlated
+    predicate becomes an ordinary join condition and pruning reaches
+    the lineitem scan; no Python in the path.  ENGINE HAZARD, found
+    building this entry and pinned in tests/test_round13_ops.py: in
+    Spark 4.1.2 an ORDER BY..LIMIT k INSIDE a correlated SQL table
+    function body decorrelates WRONG — the physical plan hoists the
+    correlated equality into a join ABOVE a GlobalLimit, so the limit
+    is taken over the whole inner table ONCE (global top-k, silently
+    dropping per-key groups: 5 parents x top-3 returned 1 row in the
+    probe).  The body therefore selects its bounded prefix with an
+    ARITY PREDICATE (l_linenumber <= 3, exact because l_linenumber is
+    a dense per-order 1..7 key); per-parent top-k by a non-key column
+    belongs in window-rank form (q_window_topk_per_group), not inside
+    a correlated function body, until upstream fixes the
+    decorrelation.  The oracle is the identical LATERAL subquery
+    spelled inline.  The %20 slice keeps the expansion bounded (driver
+    compare budget), not a semantic restriction."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqltf_src")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqltf_src")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_first_lines(okey BIGINT)
+          RETURNS TABLE (l_linenumber INT, l_quantity DOUBLE,
+                         l_extendedprice DOUBLE)
+          RETURN SELECT l_linenumber, l_quantity, l_extendedprice
+                 FROM li_sqltf_src
+                 WHERE l_orderkey = okey AND l_linenumber <= 3
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_quantity, t.l_extendedprice
+        FROM orders_sqltf_src o, LATERAL order_first_lines(o.o_orderkey) t
+        WHERE o.o_orderkey % 20 = 0
+        """
+    )
+
+
+@query(
+    "u_arrow_udf",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(LENGTH(text) +
+                    10 * (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))))
+                AS BIGINT) AS signal_sum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def u_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR ARROW-NATIVE UDF (`@arrow_udf`, Spark 4.1): an
+    expression-position Python function whose batch type is
+    pyarrow.Array in AND out — here a text-signal kernel
+    (char length + 10x space count) over the documents corpus,
+    computed entirely with pyarrow.compute string kernels.
+
+    New engine surface: the EXPRESSION-position rung of the
+    Arrow-native ladder.  u_map_in_arrow already witnesses Arrow
+    batches as a whole-RELATION transform (mapInArrow: you take over
+    the schema); arrow_udf slots the same zero-copy batch contract
+    into a single column expression, composable with ordinary
+    projections — pandas_udf's boxing (Arrow -> pandas Series, object
+    coercion, NaN-for-null) is skipped while the call site stays a
+    one-column function, exactly where a tokenizer-count or
+    embedding-norm kernel belongs in an LLM ingest pipeline.  The
+    surrounding groupBy/sum stays JVM-side.  Oracle: the same signal
+    spelled with LENGTH/REPLACE arithmetic (both engines count
+    characters, not bytes — the corpus check is part of the witness).
+    Integer-exact outputs only."""
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("bigint")
+    def text_signal(text: pa.Array) -> pa.Array:
+        return pc.cast(
+            pc.add(
+                pc.utf8_length(text),
+                pc.multiply(pc.count_substring(text, " "), 10),
+            ),
+            pa.int64(),
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(text_signal(F.col("text"))).alias("signal_sum"),
+    )
+
+
+@query(
+    "u_apply_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_extendedprice
+                  - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
+                 / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+                    - min(l_extendedprice) OVER (PARTITION BY l_returnflag)),
+                 6) AS price_norm
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+)
+def u_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-MAP applyInArrow (Spark 4): per-group min-max
+    normalization of l_extendedprice where the whole group arrives as
+    ONE pyarrow.Table and leaves as one — group statistics and the
+    row-level rewrite computed in a single Arrow kernel pass.
+
+    New engine surface: the GROUPED-MAP rung of the Arrow-native
+    ladder, completing it — mapInArrow (whole relation), arrow_udf
+    (expression position), and now per-group tables: the signature for
+    group-local transforms that need full-group context (normalization,
+    per-group model scoring, within-group dedup) without
+    u_apply_in_pandas's pandas boxing.  Dispatch is identical to
+    applyInPandas (hash shuffle on the keys, one Python call per
+    group), so the 100 TB caveats carry over unchanged: group count
+    must be >> cores and the largest group must fit an Arrow batch —
+    both true for the 3-flag demo but the real contract is documented
+    at operators/multimodal.py's batch-shape notes.  The division is
+    the same IEEE sequence in both engines ((p - min) / (max - min) in
+    doubles), so round(,6) hash-matches; the JVM-side F.round keeps
+    the house HALF_UP discipline (Arrow's pc.round defaults to
+    half-to-even — that mismatch is exactly why rounding happens
+    OUTSIDE the kernel)."""
+    import pyarrow.compute as pc
+
+    def minmax_norm(table: pa.Table) -> pa.Table:
+        price = pc.cast(table.column("l_extendedprice"), pa.float64())
+        mn = pc.min(price).as_py()
+        rng = (pc.max(price).as_py() - mn) or 1.0  # degenerate-group guard
+        return pa.table(
+            {
+                "l_orderkey": table.column("l_orderkey"),
+                "l_linenumber": table.column("l_linenumber"),
+                "l_returnflag": table.column("l_returnflag"),
+                "price_norm_raw": pc.divide(pc.subtract(price, mn), rng),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").filter("l_orderkey % 10 = 0")
+    out = li.groupBy("l_returnflag").applyInArrow(
+        minmax_norm,
+        "l_orderkey bigint, l_linenumber int, l_returnflag string, "
+        "price_norm_raw double",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("price_norm_raw", 6).alias("price_norm"),
     )

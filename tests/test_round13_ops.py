@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 import time
 
+import pyarrow as pa  # module-level: arrow_udf type hints must resolve
+
 
 def test_framelog_sink_namespace_spelling_invariant(tmp_path):
     """r12 ADVICE (medium): the manifest namespace hashed the RAW
@@ -518,3 +520,260 @@ def test_udtf_analyze_table_contracts(spark):
               TABLE(prof_narrow) PARTITION BY bucket)
             """
         ).collect()
+
+
+# ---------------------------------------------------------------- r13 shapes
+# Pins for the second r13 shape batch: the ANSI error kernel, SQL session
+# variables + EXECUTE IMMEDIATE, the SQL table function (and its correlated
+# ORDER BY..LIMIT decorrelation hazard canary), and the scalar arrow_udf.
+# (SF is defined above.)
+
+
+def test_try_arithmetic_nonvacuous(spark):
+    """Each try_* kernel must actually FIRE on this corpus (otherwise the
+    witness is vacuous), and the non-try spelling of the same dirty
+    division must FAIL under default-ANSI — proving try_divide is doing
+    quarantine work, not decoration."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.catalog import load_table
+    from oem_gateway_spark.suite import REGISTRY
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    rows = {r["l_returnflag"]: r for r in REGISTRY["q_try_arithmetic"].fn(spark, SF).collect()}
+    assert sum(r["div_nulls"] for r in rows.values()) > 0, "no quantity-25 rows?"
+    assert sum(r["parse_nulls"] for r in rows.values()) > 0
+    assert rows["R"]["parse_nulls"] == rows["R"]["n"]  # every R-row string corrupted
+    total = sum(r["n"] for r in rows.values())
+    assert 0 < sum(r["ovf_survivors"] for r in rows.values()) < total
+    assert 0 < sum(r["elem_hits"] for r in rows.values()) < total
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    li = load_table(spark, SF, "lineitem")
+    with pytest.raises((ArithmeticException, Py4JJavaError, Exception), match="DIVIDE_BY_ZERO|divide"):
+        li.select(
+            (F.col("l_extendedprice") / (F.col("l_quantity") - F.lit(25.0))).alias("x")
+        ).agg(F.count("x")).collect()
+
+
+def test_session_variable_threads_value(spark):
+    """DECLARE -> SET VAR (from a query) -> EXECUTE IMMEDIATE USING must
+    equal computing the cutoff inline, and the variable must be readable
+    by a LATER independent statement (session state, not statement
+    state)."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.catalog import load_table
+    from oem_gateway_spark.suite import REGISTRY
+
+    got = {
+        r["o_orderpriority"]: r["n"]
+        for r in REGISTRY["q_session_variable"].fn(spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    cut = orders.agg((F.max("o_totalprice") * 0.5).alias("c")).collect()[0]["c"]
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.filter(F.col("o_totalprice") > cut)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # cross-statement read of the session variable set inside the entry
+    val = spark.sql("SELECT gw_price_cut AS v").collect()[0]["v"]
+    assert val == cut
+
+
+def test_sql_table_function_correlated_and_limit_hazard(spark):
+    """(a) The registry's arity-predicate SQL table function equals the
+    equivalent join spelled by hand.  (b) CANARY for the 4.1.2
+    decorrelation bug this entry dodges: ORDER BY..LIMIT k inside a
+    CORRELATED function body plans the limit GLOBALLY (below the join),
+    returning the wrong per-key expansion.  If a Spark upgrade fixes the
+    decorrelation, (b) flips and the entry can move to true per-key
+    top-k form."""
+    from oem_gateway_spark.catalog import load_table
+    from oem_gateway_spark.suite import REGISTRY
+
+    got = REGISTRY["u_sql_table_function"].fn(spark, SF)
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    want = (
+        orders.filter("o_orderkey % 20 = 0")
+        .join(li.filter("l_linenumber <= 3"), orders.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # (b) hazard canary on a hand frame: 5 parents x top-3-of-7 children
+    spark.range(35).selectExpr(
+        "id % 5 as pk", "cast(id as int) as child"
+    ).createOrReplaceTempView("tf_hazard_child")
+    spark.range(5).selectExpr("id as pk").createOrReplaceTempView("tf_hazard_parent")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION tf_hazard(k BIGINT)
+           RETURNS TABLE (child INT)
+           RETURN SELECT child FROM tf_hazard_child WHERE pk = k
+                  ORDER BY child LIMIT 3"""
+    )
+    per_key_direct = sum(
+        spark.sql(f"SELECT * FROM tf_hazard({k})").count() for k in range(5)
+    )
+    assert per_key_direct == 15  # direct invocation is correct
+    lateral = spark.sql(
+        "SELECT p.pk, t.child FROM tf_hazard_parent p, LATERAL tf_hazard(p.pk) t"
+    )
+    n = lateral.count()
+    assert n < 15, (
+        f"correlated LATERAL + LIMIT returned {n} rows: Spark has FIXED the "
+        "decorrelation bug — u_sql_table_function can adopt ORDER BY..LIMIT"
+    )
+    assert "GlobalLimit" in lateral._jdf.queryExecution().executedPlan().toString()
+
+
+def test_arrow_udf_char_exact(spark):
+    """The arrow_udf signal counts CHARACTERS (utf8_length), not bytes,
+    and matches the hand value on a frame with a multibyte char —
+    pinning the LENGTH()-parity assumption the DuckDB oracle relies on."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lang": ["x", "x"], "text": ["héllo wörld", "a b c"]})
+    )
+    df.createOrReplaceTempView("arrow_udf_pin_src")
+    # reuse the entry's kernel by running the registry fn on a stub sf_dir
+    # is not possible (it loads documents); re-apply the same expression:
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("bigint")
+    def text_signal(text: pa.Array) -> pa.Array:
+        return pc.cast(
+            pc.add(
+                pc.utf8_length(text),
+                pc.multiply(pc.count_substring(text, " "), 10),
+            ),
+            pa.int64(),
+        )
+
+    vals = [
+        r["s"] for r in df.select(text_signal(F.col("text")).alias("s")).collect()
+    ]
+    # 'héllo wörld': 11 chars + 1 space -> 21; 'a b c': 5 chars + 2 -> 25
+    assert vals == [21, 25]
+    out = REGISTRY["u_arrow_udf"].fn(spark, SF)
+    assert "ArrowEvalPython" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_jl_projection_distortion_bound(spark):
+    """The JL witness must actually certify the guarantee: mean |gap|
+    within ~2x of the 1/sqrt(K) std, tails bounded, projected cosines
+    CORRELATED with exact ones — and the sign matrix full-rank-ish.
+    Guards the crc32-parity regression found building this operator
+    (GF(2)-linear parity => rank-1 sign matrix => all projections
+    collinear, every cos_proj +-1, mean gap ~1.0)."""
+    import numpy as np
+
+    from oem_gateway_spark.operators import similarity as S
+    from oem_gateway_spark.suite import REGISTRY
+
+    signs = np.array(S.JL_SIGNS)
+    assert np.linalg.matrix_rank(signs) > 2, "sign matrix degenerated to low rank"
+
+    pdf = REGISTRY["s_jl_projection"].fn(spark, SF).toPandas()
+    assert len(pdf) == 45  # 10 sampled vectors -> 45 pairs
+    assert pdf.abs_gap.mean() < 0.25  # ~2x the 1/sqrt(32) std
+    assert pdf.abs_gap.quantile(0.95) < 0.5
+    assert np.corrcoef(pdf.cos_exact, pdf.cos_proj)[0, 1] > 0.3
+    assert pdf.cos_proj.std() > 0.05  # not collinear projections
+
+
+def test_dedup_then_window_chain_shape(spark):
+    """The third multi-stateful chain must execute BOTH operators in ONE
+    streaming query (dedup + windowed agg), actually DROP the doubled
+    deliveries (counts equal the single-delivery batch twin), and
+    advance the watermark past all real data via the sentinel batch."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.catalog import normalize_event_ts
+    from oem_gateway_spark.suite.streaming_batch import (
+        DEDUP_WINDOW_CHAIN_METRICS,
+        stream_dedup_then_window,
+    )
+
+    out = stream_dedup_then_window(spark, SF)
+    got = {
+        (str(r["win_start"]), r["event_type"]): r["n"] for r in out.collect()
+    }
+    batch = normalize_event_ts(
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+    )
+    want = {
+        (str(r["win_start"]), r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want  # doubled input, exactly-once output
+    m = DEDUP_WINDOW_CHAIN_METRICS
+    assert m["n_stateful_operators"] == 2, m
+    assert "dedupeWithinWatermark" in m["stateful_operators"], m
+    assert "stateStoreSave" in m["stateful_operators"], m
+    assert m["final_watermark"] > "2024-02-20", m["final_watermark"]
+
+
+def test_apply_in_arrow_grouped_map(spark):
+    """applyInArrow must plan as the Arrow grouped-map node (no pandas
+    boxing) and each group's normalization must span exactly [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["u_apply_in_arrow"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan or "ApplyInArrow" in plan, plan[:500]
+    ext = df.groupBy("l_returnflag").agg(
+        F.min("price_norm").alias("lo"), F.max("price_norm").alias("hi")
+    )
+    for r in ext.collect():
+        assert r["lo"] == 0.0 and r["hi"] == 1.0, r
+
+
+def test_observe_metrics_fold(spark):
+    """observe() must deliver per-batch observation rows through the
+    progress stream, and the entry's fold of them must equal the direct
+    batch aggregate (the associativity contract monitoring relies on)."""
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.catalog import normalize_event_ts
+    from oem_gateway_spark.suite import REGISTRY
+    from oem_gateway_spark.suite.streaming_batch import OBSERVE_BATCH_ROWS
+
+    got = REGISTRY["stream_observe_metrics"].fn(spark, SF).collect()[0]
+    assert len(OBSERVE_BATCH_ROWS) >= 1  # at least one observed batch
+    assert all(m["n_rows"] > 0 for m in OBSERVE_BATCH_ROWS)
+    batch = normalize_event_ts(
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+    )
+    want = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.min(F.unix_millis("ts")).alias("min_ts_ms"),
+        F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"] > 0
+    assert got["n_clicks"] == want["n_clicks"] > 0
+    assert got["n_high"] > 0
+    assert got["min_ts_ms"] == want["min_ts_ms"]
+    assert got["max_ts_ms"] == want["max_ts_ms"]
