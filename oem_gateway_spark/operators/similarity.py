@@ -377,17 +377,25 @@ def jl_project_sql_duckdb(vec_expr: str) -> str:
     return "[" + ", ".join(dims) + "]"
 
 
-def jl_distortion_pairs(emb: DataFrame, stride: int = 50) -> DataFrame:
+def jl_distortion_pairs(
+    emb: DataFrame, stride: int = 50, id_cap: int = 5000
+) -> DataFrame:
     """The projection WITNESS: for every pair in a deterministic sample
-    (vec_id % stride = 0), exact 64-dim cosine next to the JL_K-dim
-    projected cosine and their absolute gap -- the measurable form of the
-    JL guarantee (gap concentrates around 0 as JL_K grows).
+    (vec_id % stride = 0 AND vec_id < id_cap), exact 64-dim cosine next
+    to the JL_K-dim projected cosine and their absolute gap -- the
+    measurable form of the JL guarantee (gap concentrates around 0 as
+    JL_K grows).
 
-    Shape: sample is tiny (n/stride rows) -> broadcast self-join on
-    vec_id<, cosines are per-pair map work; nothing here scales with the
-    corpus beyond the initial pushed-down sample scan."""
+    Shape: the id cap FIXES the sample size once the corpus passes
+    id_cap rows (at most id_cap/stride vectors -> a constant pair
+    count), so the audit's self-join cost is FLAT in corpus size while
+    the thing being audited -- the projection itself -- is map-only
+    linear work; without the cap a %-stride sample grows with the
+    corpus and the pair join would look quadratic in a scale probe.
+    Both filters are pushed to the scan; the sampled side is
+    broadcast."""
     s = (
-        emb.filter(F.col("vec_id") % stride == 0)
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < id_cap))
         .select(
             "vec_id",
             "embedding",

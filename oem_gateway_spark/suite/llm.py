@@ -851,14 +851,14 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ JL random projection (r13)
 
-def _jl_distortion_oracle(stride: int = 50) -> str:
+def _jl_distortion_oracle(stride: int = 50, id_cap: int = 5000) -> str:
     proj = S.jl_project_sql_duckdb("embedding")
     cos_e = V.cosine_sql_duckdb("a.embedding", "b.embedding")
     cos_p = V.cosine_sql_duckdb("a.proj", "b.proj")
     return f"""
     WITH s AS (
       SELECT vec_id, embedding, {proj} AS proj
-      FROM embeddings WHERE vec_id % {stride} = 0),
+      FROM embeddings WHERE vec_id % {stride} = 0 AND vec_id < {id_cap}),
     pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({cos_e}, 6) AS cos_exact,
@@ -896,4 +896,4 @@ def s_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee itself, not just the arithmetic.  Floats only reach the
     output through round(,6) (house float discipline)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.jl_distortion_pairs(emb, stride=50)
+    return S.jl_distortion_pairs(emb, stride=50, id_cap=5000)

@@ -227,6 +227,35 @@ PROBES = [
                                 # rows per window, not state rows;
                                 # expected near-flat (count-only inner
                                 # work) + micro-batch floor
+    # round-13 second batch:
+    "stream_dedup_then_window",  # chained dedup -> window agg over the
+                                # DOUBLED stream: dedup state ~ distinct
+                                # event_ids in the watermark horizon
+                                # (linear in replicas — new ids), agg
+                                # state time-bounded; expected
+                                # micro-batch floor + linear scan term
+    "stream_observe_metrics",   # observe() rides the existing pass: pure
+                                # scan + one partial agg, no shuffle of
+                                # data rows; expected machinery floor +
+                                # linear scan, NO state term
+    "s_jl_projection",          # the audit only touches the id-capped
+                                # sample (filters pushed to the scan,
+                                # fixed pair count), so expected ~FLAT —
+                                # growth here means the cap or the
+                                # pushdown regressed; the corpus-linear
+                                # projection matmul itself is the same
+                                # pandas-batch path the probed
+                                # s_ann/s_kmeans family exercises
+    "u_apply_in_arrow",         # grouped-map Arrow: one hash shuffle on
+                                # l_returnflag, per-group kernel linear
+                                # in group size; 3 groups regardless of
+                                # replicas, so the Python hop count is
+                                # constant and bytes grow linearly
+    "u_sql_table_function",     # inlined body -> broadcast join with
+                                # pushed predicates; both sides grow
+                                # linearly, no state; expected ~1.0
+    "u_arrow_udf",              # expression-position Arrow kernel over
+                                # documents + JVM agg: map-only linear
 ]
 
 
