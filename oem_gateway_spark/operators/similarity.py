@@ -326,7 +326,9 @@ def lsh_ann_topk(
 #
 # Data-INDEPENDENT dimensionality reduction (Achlioptas/JL): proj = (1/sqrt(D))
 # * S @ v with S a fixed +-1 sign matrix.  No training pass, no fitted state to
-# version -- the matrix is a pure function of (j, i) via crc32, so every
+# version -- the matrix is a pure function of (j, i) via md5 (NOT the
+# crc32 plane idiom: see _jl_sign for why parity of a linear hash cannot
+# seed a sign matrix), so every
 # executor (and the DuckDB oracle) regenerates it identically; at 100 TB the
 # projection is map-only Arrow-batched matmul, and downstream index builds
 # (IVF, LSH, quantization) run on JL_K-dim vectors instead of D-dim.
@@ -394,44 +396,32 @@ def jl_distortion_pairs(
     corpus and the pair join would look quadratic in a scale probe.
     Both filters are pushed to the scan; the sampled side is
     broadcast."""
-    s = (
-        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < id_cap))
-        .select(
-            "vec_id",
-            "embedding",
-            jl_project_pandas(F.col("embedding")).alias("proj"),
-        )
-        .withColumn("n_e", V.norm_pandas(F.col("embedding")))
-        .withColumn("n_p", V.norm_pandas(F.col("proj")))
+    s = emb.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < id_cap)
+    ).select(
+        "vec_id",
+        "embedding",
+        jl_project_pandas(F.col("embedding")).alias("proj"),
     )
     a = s.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("e_a"),
         F.col("proj").alias("p_a"),
-        F.col("n_e").alias("ne_a"),
-        F.col("n_p").alias("np_a"),
     )
     b = s.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("e_b"),
         F.col("proj").alias("p_b"),
-        F.col("n_e").alias("ne_b"),
-        F.col("n_p").alias("np_b"),
     )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    # One Arrow stage per cosine (V.cosine_pandas: dot + both norms per
+    # batch, zero-denominator guarded) — the house pair-cosine helper,
+    # not a hand-rolled dot/norm chain (r13 self-review).
     scored = pairs.select(
         "id_a",
         "id_b",
-        F.round(
-            V.dot_pandas(F.col("e_a"), F.col("e_b"))
-            / (F.col("ne_a") * F.col("ne_b")),
-            6,
-        ).alias("cos_exact"),
-        F.round(
-            V.dot_pandas(F.col("p_a"), F.col("p_b"))
-            / (F.col("np_a") * F.col("np_b")),
-            6,
-        ).alias("cos_proj"),
+        F.round(V.cosine_pandas(F.col("e_a"), F.col("e_b")), 6).alias("cos_exact"),
+        F.round(V.cosine_pandas(F.col("p_a"), F.col("p_b")), 6).alias("cos_proj"),
     )
     return scored.withColumn(
         "abs_gap", F.round(F.abs(F.col("cos_exact") - F.col("cos_proj")), 6)

@@ -23,10 +23,18 @@ from pyspark.sql import functions as F
 from oem_gateway_spark.catalog import load_table
 from oem_gateway_spark.suite.registry import query
 
-# try_multiply overflow boundary: 750 * _OVF_MULT = 9223372036854775500
-# <= int64 max, 751 * _OVF_MULT overflows -- so survivorship is an exact
-# key-range predicate the oracle can spell with CASE.
-_OVF_MULT = 12297829382473034
+# try_multiply overflow boundary: with k = (l_orderkey % 1500) + 1 in
+# [1, 1500], k * _OVF_MULT fits int64 exactly for k <= 1490 and
+# overflows for k >= 1491 -- survivorship is an exact key-range
+# predicate the oracle can spell with CASE, and only ~0.67% of rows
+# take the error path.  The rate is deliberate ENGINE CHARACTERIZATION:
+# try_*'s NULL-on-error path costs a caught JVM exception PER ERROR ROW
+# (~2 us each -- a first cut that overflowed on ~100% of rows spent
+# 13.6 s of a 17.9 s sf0.1 wall inside try_multiply vs 0.6 s for the
+# ~1%-error try_divide), so error-safe kernels are for QUARANTINE
+# rates, not expected-case control flow; the witness keeps the exact
+# 2^63 boundary while holding the error rate at quarantine scale.
+_OVF_MULT = 6190182575070319  # int64max // 1490
 
 
 @query(
@@ -47,7 +55,8 @@ _OVF_MULT = 12297829382473034
       SELECT l_returnflag,
              CASE WHEN l_quantity - 25.0 = 0 THEN NULL
                   ELSE l_extendedprice / (l_quantity - 25.0) END AS div_q,
-             CASE WHEN l_orderkey <= 750 THEN l_orderkey * {_OVF_MULT}
+             CASE WHEN (l_orderkey % 1500) + 1 <= 1490
+                  THEN ((l_orderkey % 1500) + 1) * {_OVF_MULT}
                   ELSE NULL END AS ovf,
              TRY_CAST(CAST(l_linenumber AS VARCHAR) ||
                       CASE WHEN l_returnflag = 'R' THEN '!' ELSE '' END
@@ -62,8 +71,11 @@ _OVF_MULT = 12297829382473034
 def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ERROR-SAFE KERNELS under default-ANSI: four deliberately dirty
     expressions — divide by a derived zero (quantity 25 rows), bigint
-    multiply past the int64 boundary (exact edge: key 750 survives,
-    751 overflows), a cast of a string corrupted on 'R' rows, and an
+    multiply past the int64 boundary (exact edge: derived key 1490
+    survives, 1491 overflows; rate held at ~0.67% because the engine
+    pays a caught JVM exception per ERROR ROW — see _OVF_MULT's note
+    for the measured 20x wall difference), a cast of a string
+    corrupted on 'R' rows, and an
     element_at past the array arity — evaluated through try_divide /
     try_multiply / Column.try_cast / try_element_at, which return NULL
     row-locally instead of failing the task.
@@ -80,7 +92,7 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle spells each kernel's exact semantics with guards (CASE for
     zero/overflow, TRY_CAST, DuckDB's NULL-on-out-of-range list index),
     so the driver hash-proves the NULL boundary row-for-row — including
-    the 2^62-scale overflow edge, where an off-by-one in the engine's
+    the int64-max overflow edge, where an off-by-one in the engine's
     check would flip ovf_survivors.  No float summation: doubles only
     reach MIN/MAX (order-exact); sums are over small exact ints."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -89,7 +101,9 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide("l_extendedprice", F.col("l_quantity") - F.lit(25.0)).alias(
             "div_q"
         ),
-        F.try_multiply("l_orderkey", F.lit(_OVF_MULT)).alias("ovf"),
+        F.try_multiply(
+            (F.col("l_orderkey") % 1500) + 1, F.lit(_OVF_MULT)
+        ).alias("ovf"),
         F.concat(
             F.col("l_linenumber").cast("string"),
             F.when(F.col("l_returnflag") == "R", F.lit("!")).otherwise(F.lit("")),

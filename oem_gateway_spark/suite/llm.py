@@ -874,7 +874,9 @@ def _jl_distortion_oracle(stride: int = 50, id_cap: int = 5000) -> str:
 def s_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOHNSON-LINDENSTRAUSS SIGN PROJECTION, witnessed as a distortion
     audit: every 64-dim embedding in a deterministic sample is projected
-    to 32 dims through a fixed +-1 matrix (crc32-derived, regenerated
+    to 32 dims through a fixed +-1 matrix (md5-derived — crc32 parity is
+    GF(2)-linear and factorizes into a rank-1 sign matrix, found live;
+    regenerated
     identically on every executor AND inside the DuckDB oracle — no
     fitted state), and every sample pair's projected cosine sits next to
     its exact cosine with the absolute gap.

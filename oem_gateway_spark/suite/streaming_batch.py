@@ -1162,9 +1162,17 @@ def stream_window_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         progress_sink=WINDOW_CHAIN_METRICS,
     )
     # Sentinel windows never close inside the replay (watermark stops
-    # 2 h short of them), so no row filter is needed; keep a belt-and-
-    # braces guard against a future sentinel-geometry change.
-    return table.filter(F.col("win_start") < F.lit("2025-01-01"))
+    # 2 h short of them), so no row filter is needed; the belt-and-braces
+    # guard is keyed off the sentinel GEOMETRY (r13 self-review: the
+    # original '2025-01-01' calendar cutoff sat AFTER the max(ts)+30d
+    # sentinels and could never exclude them): real windows start at or
+    # before the real max event time, sentinel windows strictly after.
+    max_real_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    return table.filter(F.col("win_start") <= F.lit(max_real_ts))
 
 
 # Execution-shape witness for the chained dedup->window aggregation.
@@ -1218,9 +1226,15 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(batch.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(d)
-        ).withWatermark("ts", "2 hours")
+        )
 
-    deduped = leg().unionByName(leg()).dropDuplicatesWithinWatermark(["event_id"])
+    # The bounded-state dedup contract lives in ONE place
+    # (ST.dedup_within_watermark, shared with stream_dedup) — it applies
+    # the watermark after the union, which for identical legs equals
+    # per-leg watermarking (min of equal watermarks).
+    deduped = ST.dedup_within_watermark(
+        leg().unionByName(leg()), keys=["event_id"], watermark="2 hours"
+    )
     agg = (
         deduped.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -1241,7 +1255,16 @@ def stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
         progress_sink=DEDUP_WINDOW_CHAIN_METRICS,
     )
-    return table.filter(F.col("win_start") < F.lit("2025-01-01"))
+    # Sentinel guard keyed off the sentinel GEOMETRY, not a calendar
+    # date (r13 self-review: sentinels sit at max(ts)+30d — a fixed
+    # '2025-01-01' cutoff never excludes them): real windows start at or
+    # before the real max event time, sentinel windows strictly after.
+    max_real_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    return table.filter(F.col("win_start") <= F.lit(max_real_ts))
 
 
 # Raw per-batch observation rows for the observe() witness (pytest pin).
@@ -1292,20 +1315,32 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_millis("ts")).alias("min_ts_ms"),
         F.max(F.unix_millis("ts")).alias("max_ts_ms"),
     )
-    name = f"stream_observe_{os.getpid()}_{next(_SEQ)}"
-    q = (
-        observed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    obs = [
-        p["observedMetrics"]["ingest_quality"]
-        for p in (q.recentProgress or [])
-        if (p.get("observedMetrics") or {}).get("ingest_quality")
-    ]
+    # noop sink: only the observation side-channel is consumed — a memory
+    # sink would materialize the whole pass-through relation into driver
+    # memory for nothing (r13 self-review finding).  recentProgress is
+    # capped at spark.sql.streaming.numRecentProgressUpdates (default
+    # 100): scope a bump so a >100-micro-batch replay (replicated
+    # corpora under maxFilesPerTrigger) cannot silently drop early
+    # batches from the fold.
+    spark_ = observed.sparkSession
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev = spark_.conf.get(key)
+    spark_.conf.set(key, "10000")
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        obs = [
+            p["observedMetrics"]["ingest_quality"]
+            for p in (q.recentProgress or [])
+            if (p.get("observedMetrics") or {}).get("ingest_quality")
+        ]
+    finally:
+        spark_.conf.set(key, prev)
     OBSERVE_BATCH_ROWS.clear()
     OBSERVE_BATCH_ROWS.extend(obs)
     total = {

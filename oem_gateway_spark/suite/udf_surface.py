@@ -429,8 +429,10 @@ def u_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_returnflag,
            round((l_extendedprice
                   - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
-                 / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
-                    - min(l_extendedprice) OVER (PARTITION BY l_returnflag)),
+                 / COALESCE(NULLIF(
+                     max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+                     - min(l_extendedprice) OVER (PARTITION BY l_returnflag),
+                     0), 1.0),
                  6) AS price_norm
     FROM lineitem
     WHERE l_orderkey % 10 = 0
@@ -463,7 +465,10 @@ def u_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def minmax_norm(table: pa.Table) -> pa.Table:
         price = pc.cast(table.column("l_extendedprice"), pa.float64())
         mn = pc.min(price).as_py()
-        rng = (pc.max(price).as_py() - mn) or 1.0  # degenerate-group guard
+        # degenerate-group guard, mirrored in the oracle's
+        # COALESCE(NULLIF(max-min, 0), 1.0) so a constant-price group
+        # normalizes to 0.0 on BOTH sides (DuckDB 0/0 is NULL, not 0)
+        rng = (pc.max(price).as_py() - mn) or 1.0
         return pa.table(
             {
                 "l_orderkey": table.column("l_orderkey"),

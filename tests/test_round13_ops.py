@@ -549,11 +549,13 @@ def test_try_arithmetic_nonvacuous(spark):
     assert 0 < sum(r["elem_hits"] for r in rows.values()) < total
 
     import pytest
-    from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import ArithmeticException
 
     li = load_table(spark, SF, "lineitem")
-    with pytest.raises((ArithmeticException, Py4JJavaError, Exception), match="DIVIDE_BY_ZERO|divide"):
+    # The SPECIFIC ANSI error class, not a broad catch (a bare Exception
+    # plus substring match would pass on an AnalysisException mentioning
+    # 'divide' without the division ever executing).
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
         li.select(
             (F.col("l_extendedprice") / (F.col("l_quantity") - F.lit(25.0))).alias("x")
         ).agg(F.count("x")).collect()
