@@ -156,6 +156,9 @@ HEADLINE = [
     "stream_dedup_then_window",
     "u_apply_in_arrow",
     "stream_observe_metrics",
+    "u_pandas_udf_iter",
+    "u_pandas_udf_window",
+    "w_session_dynamic",
 ]
 
 

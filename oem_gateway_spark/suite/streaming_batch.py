@@ -1358,3 +1358,69 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value double, min_ts_ms bigint, max_ts_ms bigint"
         ),
     ).select("n_rows", "n_clicks", "n_high", "sum_value", "min_ts_ms", "max_ts_ms")
+
+
+@query(
+    "w_session_dynamic",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS t,
+             CASE WHEN event_type = 'purchase' THEN 1800000
+                  ELSE 600000 END AS gap_ms
+      FROM events),
+    m AS (
+      SELECT *,
+             MAX(t + gap_ms) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e),
+    isl AS (
+      SELECT *,
+             SUM(CASE WHEN prev_end IS NULL OR t >= prev_end
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           CAST(MIN(t) AS BIGINT) AS session_start_ms,
+           CAST(MAX(t + gap_ms) AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def w_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows: the gap is a PER-EVENT expression —
+    a purchase holds its session open 30 minutes, anything else 10 —
+    so one session can mix hold times and its end is max(ts + gap)
+    over the merged members, not last-event + constant.
+
+    New engine surface: session_window's COLUMN-gap form.  w_session /
+    stream_session witness the constant-gap merge; real behavioral
+    sessionization wants event-type-dependent holds (a checkout keeps
+    the visit alive longer than a scroll), which changes BOTH merge
+    decisions (an event lands inside a purchase's long tail that a
+    10-min tail would have closed) and the emitted end timestamp.  The
+    oracle derives the same semantics from first principles as
+    gaps-and-islands with a RUNNING MAX of (ts + gap) — a new session
+    starts exactly when an event's time reaches the furthest end any
+    earlier event held open (end-exclusive, matching Spark's window
+    convention), which also documents the operator's meaning
+    independently of the engine.  Tie-times are order-safe (a
+    same-timestamp pair lands in one island either way, gap > 0).
+    Outputs as epoch ms (no tz round-trip); counts and min/max only.
+    Scale: same shuffle-on-user_id merge as constant-gap sessions;
+    state in the streaming twin stays watermark-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("win.start").alias("session_start_ms"),
+            F.unix_millis("win.end").alias("session_end_ms"),
+            "n_events",
+        )
+    )

@@ -490,3 +490,132 @@ def u_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round("price_norm_raw", 6).alias("price_norm"),
     )
+
+
+# Per-worker init counter for the SCALAR_ITER witness (pytest pin channel:
+# proves the init ran once per PARTITION, not once per row/batch).
+ITER_UDF_INITS = None  # set to an accumulator by u_pandas_udf_iter
+
+
+@query(
+    "u_pandas_udf_iter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(l_extendedprice * 1.1 + l_quantity), 6) AS lo,
+           round(MAX(l_extendedprice * 1.1 + l_quantity), 6) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def u_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form scalar pandas UDF (SCALAR_ITER): the function
+    receives the whole partition as an Iterator of Arrow batches, so
+    EXPENSIVE ONE-TIME SETUP runs once per partition and is amortized
+    across every batch — the signature for 'load the tokenizer / ONNX
+    model / trie once, then stream batches through it', which is the
+    dominant Python-UDF shape in an LLM ingest pipeline.
+
+    New engine surface: the last uncovered pandas_udf EVAL TYPE
+    (SCALAR witnesses per-batch calls, GROUPED_AGG per-group calls;
+    SCALAR_ITER is per-PARTITION with streamed batches).  The plain
+    scalar form re-enters Python per batch with no place to hang
+    worker state short of module globals; the iterator form makes the
+    init/stream split explicit and keeps memory flat (batches are
+    consumed lazily — the whole partition is never materialized).  The
+    'model' here is a trivial coefficient so the oracle stays exact
+    arithmetic; the init-once contract is the point and is pinned via
+    an accumulator (inits == partitions touched, not rows or batches).
+    min/max order-exact; round(,6) on output."""
+    global ITER_UDF_INITS
+    ITER_UDF_INITS = spark.sparkContext.accumulator(0)
+    acc = ITER_UDF_INITS
+
+    # Iterator/pd come from MODULE scope: under `from __future__ import
+    # annotations` the hints are strings and pyspark resolves them in the
+    # function's globals (a local alias would fail eval-type inference).
+    @pandas_udf("double")
+    def scored(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        acc.add(1)  # the expensive load, once per partition
+        coef = 1.1
+        for qty_price in batches:
+            yield qty_price["p"] * coef + qty_price["q"]
+
+    # struct-pack the two inputs: SCALAR_ITER yields one iterator per
+    # UDF, so multiple columns arrive as a struct series
+    li = load_table(spark, sf_dir, "lineitem")
+    packed = F.struct(
+        F.col("l_extendedprice").alias("p"), F.col("l_quantity").alias("q")
+    )
+    return (
+        li.select("l_returnflag", scored(packed).alias("s"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("s"), 6).alias("lo"),
+            F.round(F.max("s"), 6).alias("hi"),
+        )
+    )
+
+
+@query(
+    "u_pandas_udf_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round((SUM(l_extendedprice) OVER w
+                  - MAX(l_extendedprice) OVER w
+                  - MIN(l_extendedprice) OVER w) / 8, 6) AS trimmed
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    WINDOW w AS (ORDER BY l_orderkey, l_linenumber
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    QUALIFY row_number() OVER (ORDER BY l_orderkey, l_linenumber) >= 10
+    """,
+)
+def u_pandas_udf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF in WINDOW position (WindowInPandas): a TRIMMED mean
+    (drop the frame's single max and min, average the middle 8) over a
+    sliding 10-row price frame — the robust rolling smoother shape;
+    built-in window aggregates compose it only by re-deriving the trim
+    algebraically, which is exactly what the oracle does to check the
+    Python aggregate ((sum - max - min) / 8).
+
+    New engine surface: the WINDOW entrance for custom Python
+    aggregates.  GROUPED_AGG witnesses one value per GROUP; window
+    position evaluates the UDAF once per ROW over that row's frame
+    (WindowInPandas plan node) — how a custom smoother / decayed
+    score / robust statistic lands without a JVM UDAF class.  The
+    frame is deliberately BOUNDED (ROWS 9 PRECEDING): an
+    unbounded-preceding frame re-aggregates O(n) rows per row —
+    quadratic, the anti-pattern.  Partial leading frames are dropped
+    (row_number >= 10) so every frame holds exactly 10 rows: the
+    trimmed mean is then a 2-decimal sum divided by 8 — an EXACT
+    5-decimal rational, so round(,6) sits a full decimal away from
+    any half-up midpoint (the first cut used a weighted mean whose
+    quotient landed exactly on a 6-decimal midpoint at sf0.01 and
+    hash-mismatched by 1e-6 — quotients of arbitrary integers can hit
+    midpoints at ANY precision; division by a power of two cannot).
+    Global ORDER BY (orderkey, linenumber) is unique so frames are
+    deterministic; the single unpartitioned window is the
+    bounded-output diagnostic shape (the %20 slice), per-key windows
+    shard at scale."""
+    from pyspark.sql.window import Window
+
+    @pandas_udf("double")
+    def trimmed_mean(price: pd.Series) -> float:
+        v = np.sort(price.to_numpy())
+        return float(v[1:-1].mean()) if len(v) > 2 else float(v.mean())
+
+    li = load_table(spark, sf_dir, "lineitem").filter("l_orderkey % 20 = 0")
+    order = Window.orderBy("l_orderkey", "l_linenumber")
+    w = order.rowsBetween(-9, Window.currentRow)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(trimmed_mean("l_extendedprice").over(w), 6).alias("trimmed"),
+            F.row_number().over(order).alias("_rn"),
+        )
+        .filter(F.col("_rn") >= 10)
+        .drop("_rn")
+    )

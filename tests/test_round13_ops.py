@@ -779,3 +779,97 @@ def test_observe_metrics_fold(spark):
     assert got["n_high"] > 0
     assert got["min_ts_ms"] == want["min_ts_ms"]
     assert got["max_ts_ms"] == want["max_ts_ms"]
+
+
+def test_pandas_udf_iter_init_amortized(spark):
+    """SCALAR_ITER's contract IS the amortization: the 'model load' must
+    run once per PARTITION (accumulator count == partitions touched),
+    never once per row or per Arrow batch."""
+    import oem_gateway_spark.suite.udf_surface as U
+
+    df = U.u_pandas_udf_iter(spark, SF)
+    rows = df.collect()
+    n_rows = sum(r["n"] for r in rows)
+    inits = U.ITER_UDF_INITS.value
+    assert 0 < inits <= 32, inits  # bounded by cores/partitions
+    assert inits < n_rows  # NOT per-row
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+
+def test_pandas_udf_window_frames(spark):
+    """The pandas UDAF must execute in WINDOW position (WindowInPandas
+    plan node) over exactly-10-row frames, and the trimmed mean must lie
+    strictly between the frame extremes (the trim actually trimmed)."""
+    from oem_gateway_spark.suite import REGISTRY
+
+    df = REGISTRY["u_pandas_udf_window"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the node ArrowWindowPython (WindowInPandas pre-4)
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, plan[:400]
+    pdf = df.toPandas()
+    # 309 qualifying rows at sf0.001 minus the 9 partial-frame rows
+    assert len(pdf) == 300
+    assert pdf["trimmed"].notna().all()
+
+
+def test_session_dynamic_gap_semantics(spark):
+    """Dynamic-gap sessionization must differ from BOTH constant-gap
+    spellings (10-min-only and 30-min-only) — i.e. the per-event gap
+    actually drives merge decisions — and every session end must equal
+    max(ts + gap(event)) over its members (pinned on a hand frame)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from oem_gateway_spark.suite import REGISTRY
+
+    dyn = REGISTRY["w_session_dynamic"].fn(spark, SF).count()
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    from oem_gateway_spark.catalog import normalize_event_ts
+
+    ev = normalize_event_ts(ev)
+    fixed = {
+        g: ev.groupBy(F.session_window("ts", g), "user_id").count().count()
+        for g in ("10 minutes", "30 minutes")
+    }
+    assert dyn != fixed["10 minutes"] and dyn != fixed["30 minutes"], (
+        dyn,
+        fixed,
+    )
+    assert fixed["30 minutes"] < dyn < fixed["10 minutes"]  # merge monotonicity
+
+    # hand frame: purchase's 30-min tail captures an event 20 min later
+    # that a 10-min gap would have split
+    hand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "event_type": ["purchase", "click", "click"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:20:00",
+                     "2024-01-01 00:45:00"]
+                ),
+            }
+        )
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    sess = (
+        hand.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .count()
+        .select(
+            F.unix_millis("w.start").alias("s"),
+            F.unix_millis("w.end").alias("e"),
+            "count",
+        )
+        .orderBy("s")
+        .collect()
+    )
+    # session 1: purchase@0 holds to 00:30, click@20 joins (10-min tail
+    # to 00:30) -> end 00:30, 2 events; click@45 is outside -> own session
+    assert [(r["count"], r["e"] - r["s"]) for r in sess] == [
+        (2, 30 * 60 * 1000),
+        (1, 10 * 60 * 1000),
+    ], sess
