@@ -256,6 +256,21 @@ PROBES = [
                                 # linearly, no state; expected ~1.0
     "u_arrow_udf",              # expression-position Arrow kernel over
                                 # documents + JVM agg: map-only linear
+    "u_pandas_udf_iter",        # SCALAR_ITER over lineitem xk: map-only
+                                # linear; the per-partition init count
+                                # is bounded by cores, so Python-entry
+                                # overhead must stay FLAT as rows grow
+    "u_pandas_udf_window",      # single-partition 10-row sliding frames
+                                # over the %20 slice: linear rows through
+                                # ONE sorted partition — the documented
+                                # bounded-output diagnostic shape; a
+                                # super-linear exponent would mean frame
+                                # evaluation stopped sliding
+    "w_session_dynamic",        # shuffle on user_id + session merge:
+                                # events replicas are NEW users (id
+                                # shift), so per-user series length is
+                                # constant and session count grows
+                                # linearly — expected ~1.0
 ]
 
 
