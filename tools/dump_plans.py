@@ -144,6 +144,35 @@ QUERIES = [
         "u_udtf_analyze_table",
         "analyze-over-table-schema UDTF: function-requested exchange (partitionBy) + column pruning (select) visible as the pre-UDTF Project",
     ),
+    # round 13 second/third batch
+    (
+        "u_sql_table_function",
+        "SQL TVF fully inlined: arity predicate AND transitive outer-key filter pushed into the lineitem scan; broadcast join, no Python",
+    ),
+    (
+        "q_try_arithmetic",
+        "ANSI try_* kernels: 7-of-11-column pruned scan, all four kernels fused in one Project, map-side partial agg",
+    ),
+    (
+        "u_arrow_udf",
+        "scalar arrow_udf: ArrowEvalPython between 2-column pruned scan and JVM partial agg",
+    ),
+    (
+        "u_apply_in_arrow",
+        "grouped-map applyInArrow: one hash exchange on the group key, FlatMapGroupsInArrow, JVM-side rounding after",
+    ),
+    (
+        "s_jl_projection",
+        "JL distortion audit: both sample filters scan-pushed, projection UDF on the tiny sample only, broadcast pair join",
+    ),
+    (
+        "u_pandas_udf_window",
+        "pandas UDAF in window position: ArrowWindowPython over sliding 10-row frames, row_number gate above",
+    ),
+    (
+        "w_session_dynamic",
+        "dynamic-gap session_window: per-event gap expression fused into the session merge exchange",
+    ),
 ]
 
 
