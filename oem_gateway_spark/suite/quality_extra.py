@@ -229,8 +229,18 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins only the FRONTIER (nodes first reached last round — anti-
     joined against the visited set, so the per-round join input
     SHRINKS as the frontier saturates, rather than re-walking the
-    whole reached set); depth-bounded lineage needs no checkpoint.
-    The oracle replays reachability as a recursive CTE.
+    whole reached set).  Each round's new-node set is eagerly
+    localCheckpointed (r13 optimization): ``new`` is referenced twice
+    per round (as the next frontier AND in the visited union) and
+    ``visited`` twice again (anti-join probe + union), so without
+    lineage truncation the early rounds re-execute ~2x per later
+    round — the captured before-plan carried 386 Exchange nodes and
+    the isolated wall was ~12 s at sf0.1 vs ~3 s for the linear-
+    lineage PageRank twin over the same edges.  The checkpointed
+    round states are node-count-sized (kilobytes); on a cluster use
+    ``checkpoint()`` to the durable dir instead (same note as
+    operators/graph.py).  The oracle replays reachability as a
+    recursive CTE.
 
     Measured alternative (rejected): a broadcast-frontier variant that
     skips edge materialization and semi-joins the raw fact each round
@@ -258,7 +268,11 @@ def q_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = reached.join(visited.select("node"), on="node", how="left_anti")
+        # Truncate lineage BEFORE the dual reference (docstring): one
+        # tiny eager job per round, node-count-sized blocks.
+        new = reached.join(
+            visited.select("node"), on="node", how="left_anti"
+        ).localCheckpoint(eager=True)
         frontier = new
         visited = visited.unionByName(
             new.withColumn("min_depth", F.lit(depth))
@@ -320,7 +334,14 @@ def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-stepping trick), does a per-round map-side min-combine on
     dst, then min-merges into the running bounds; the frontier shrinks
     to empty as bounds converge, so late rounds are near-free.
-    Depth-bounded lineage needs no checkpoint."""
+    Each round's candidate set and merged bounds are eagerly
+    localCheckpointed (r13 optimization): ``cand`` is referenced
+    twice per round (improved-frontier filter + bounds union) and
+    ``dist`` twice again (old-bounds probe + union), so without
+    lineage truncation the early rounds re-execute ~2x per later
+    round (the captured before-plan carried 214 Exchange nodes; same
+    pathology and fix as q_reachability).  Round states are
+    node-count-sized; on a cluster use ``checkpoint()`` instead."""
     from oem_gateway_spark.operators.dedup import _own_cache
     from oem_gateway_spark.suite.cooc import capped_order_members
 
@@ -344,6 +365,8 @@ def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = seed
     frontier = seed
     for _ in range(_SSSP_HOPS):
+        # Truncate lineage at the two dual-referenced round states
+        # (docstring): one tiny eager job each, node-count-sized.
         cand = (
             frontier.join(edges, frontier.node == edges.src)
             .select(
@@ -352,6 +375,7 @@ def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
         )
         old = dist.select("node", F.col("cost").alias("old_cost"))
         frontier = (
@@ -363,7 +387,10 @@ def q_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "cost")
         )
         dist = (
-            dist.unionByName(cand).groupBy("node").agg(F.min("cost").alias("cost"))
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
         )
     out = dist.select(
         F.col("node").alias("suppkey"), F.col("cost").alias("min_cost")
