@@ -361,60 +361,71 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     see identical keys; numeric min/max render via a round-then-cast
     (Spark and DuckDB print bare doubles differently).
 
-    Plan: ONE scan — all four columns' aggregates compute in a single
-    pass (Spark plans the multi-distinct via Expand, still one fact
-    read), vs the naive per-column re-scan.  The string min/max and
-    null counters are plain partial aggregates.  At 100 TB profiling
-    must not cost four scans; this shape is why."""
+    Plan (r13 optimization): one GROUP-BY-VALUE branch per column,
+    unioned.  The previous single-agg multi-distinct shape planned as
+    Expand(x5 rows) -> Sort -> SortAggregate — string min/max in the
+    aggregation buffer disqualifies hash aggregation, so the 5x
+    expanded fact was SORTED (measured 4.3 s isolated at sf0.1).  Here
+    each branch hash-aggregates by the column's value (map-side partial
+    collapses to the per-partition distinct set before the exchange, so
+    the shuffle carries |distinct|, not |rows|), and the string-buffer
+    min/max runs only over the distinct-value frame.  Four
+    single-column scans of a columnar format read the same bytes as
+    one four-column scan, so the 100 TB cost is unchanged while the
+    5x-row sort disappears (measured 4.3 s -> see OPTIMIZATION_r13.md;
+    plan diff: Expand+2 SortAggregate sorts -> 4 parallel
+    HashAggregate branches)."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
 
-    def profile(col: str, distinct_expr: F.Column, min_s: F.Column, max_s: F.Column):
-        return [
-            F.count("*").alias(f"{col}__n"),
-            (F.count("*") - F.count(col)).alias(f"{col}__n_null"),
-            F.count_distinct(distinct_expr).alias(f"{col}__n_distinct"),
-            F.min(min_s).cast("string").alias(f"{col}__min_s"),
-            F.max(max_s).cast("string").alias(f"{col}__max_s"),
-        ]
+    def profile(col: str, key: F.Column, min_max_rounded: bool) -> DataFrame:
+        if min_max_rounded:
+            # distinct key is exact cents, min/max render from the raw
+            # double — carry per-key extrema through the group-by.
+            g = o.groupBy(key.alias("k")).agg(
+                F.count("*").alias("cnt"),
+                F.min(col).alias("mn"),
+                F.max(col).alias("mx"),
+            )
+            # Exact replication of the previous expression chain:
+            # min -> cast string -> cast double -> round -> cast string.
+            min_s = F.round(
+                F.min("mn").cast("string").cast("double"), 2
+            ).cast("string")
+            max_s = F.round(
+                F.max("mx").cast("string").cast("double"), 2
+            ).cast("string")
+        else:
+            g = o.groupBy(key.alias("k")).agg(F.count("*").alias("cnt"))
+            min_s = F.min("k").cast("string")
+            max_s = F.max("k").cast("string")
+        return g.agg(
+            F.sum("cnt").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)
+            ).alias("n_null"),
+            F.count("k").alias("n_distinct"),
+            min_s.alias("min_s"),
+            max_s.alias("max_s"),
+        ).select(
+            F.lit(col).alias("col"),
+            "n",
+            "n_null",
+            "n_distinct",
+            "min_s",
+            "max_s",
+        )
 
-    aggs = (
-        profile("o_custkey", F.col("o_custkey"), F.col("o_custkey"), F.col("o_custkey"))
-        + profile(
-            "o_orderstatus",
-            F.col("o_orderstatus"),
-            F.col("o_orderstatus"),
-            F.col("o_orderstatus"),
-        )
-        + profile(
-            "o_orderpriority",
-            F.col("o_orderpriority"),
-            F.col("o_orderpriority"),
-            F.col("o_orderpriority"),
-        )
-        + profile("o_totalprice", cents, F.col("o_totalprice"), F.col("o_totalprice"))
-    )
-    wide = o.agg(*aggs)
-    # o_totalprice min/max must render rounded to 2dp to match the oracle.
-    wide = wide.withColumn(
-        "o_totalprice__min_s",
-        F.round(F.col("o_totalprice__min_s").cast("double"), 2).cast("string"),
-    ).withColumn(
-        "o_totalprice__max_s",
-        F.round(F.col("o_totalprice__max_s").cast("double"), 2).cast("string"),
-    )
-    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
-    stack_args = []
-    for c in cols:
-        stack_args.append(f"'{c}'")
-        for suffix in ("n", "n_null", "n_distinct", "min_s", "max_s"):
-            stack_args.append(f"{c}__{suffix}")
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {', '.join(stack_args)})"
-            " AS (col, n, n_null, n_distinct, min_s, max_s)"
-        )
-    )
+    parts = [
+        profile("o_custkey", F.col("o_custkey"), False),
+        profile("o_orderstatus", F.col("o_orderstatus"), False),
+        profile("o_orderpriority", F.col("o_orderpriority"), False),
+        profile("o_totalprice", cents, True),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(
