@@ -587,9 +587,23 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: LSH bucket join + cosine >= 0.9999.
+    """Embedding-cosine near-dup: LSH bucket grouping + cosine >= 0.9999.
     Corpus = embeddings + exactly-colinear copies (x2 scale — scale-
-    invariant cosine must catch all of them; same-bucket by construction)."""
+    invariant cosine must catch all of them; same-bucket by construction).
+
+    Plan (r13 optimization, guide §8 — decide with small rows): the
+    within-bucket pair scoring runs as ONE applyInPandas per bucket
+    (sort by vec_id, one gram matrix, upper triangle -> pairs), so the
+    Python boundary carries each vector ONCE (|corpus| rows) instead of
+    once per candidate pair.  The previous bucket self-join materialized
+    ~m^2/2 pair rows per bucket EACH carrying two embedding arrays
+    through ArrowEvalPython (~40x the bytes at sf0.1; measured 7.4 s ->
+    see OPTIMIZATION_r13.md).  The numpy gram matrix and the per-pair
+    einsum agree far beyond the 0.9999 gap / round(,6) grain — the same
+    last-ulp class the oracle comparison already absorbs."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     copy = emb.select(
         (F.col("vec_id") + DOC_OFFSET).alias("vec_id"),
@@ -603,23 +617,35 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         S.lsh_bucket_fast(F.col("embedding")).alias("bucket"),
     )
-    a = b.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        "bucket",
+
+    def per_bucket(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+            )
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        dots = X @ X.T
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        denom = np.outer(norms, norms)
+        cos = np.where(
+            denom != 0, dots / np.where(denom == 0, 1, denom), np.nan
+        )
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= 0.9999
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cos_raw": cos[iu[keep], ju[keep]],
+            }
+        )
+
+    pairs = b.groupBy("bucket").applyInPandas(
+        per_bucket, "id_a long, id_b long, cos_raw double"
     )
-    c = b.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        "bucket",
-    )
-    return (
-        a.join(c, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", V.cosine_pandas(F.col("emb_a"), F.col("emb_b")))
-        .filter(F.col("cos_raw") >= 0.9999)
-        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
-    )
+    return pairs.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
 
 # -------------------------------------------------------------- multimodal
