@@ -238,7 +238,12 @@ def d_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits at 100 TB run exactly like this on a SAMPLE of pairs — the
     estimator is the product, the audit is the QA pass."""
     corpus = _corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(corpus)
+    # Persist the pair list (r13): it feeds the intersection probe AND
+    # the final join — without it the banded candidate self-join re-ran
+    # per reference (the persist inside minhash_lsh_pairs only covers
+    # the signature build below the band explode).
+    pairs_full = D.minhash_lsh_pairs(corpus)
+    pairs = pairs_full.persist()
     grams = corpus.select(
         "doc_id",
         F.explode(
@@ -260,7 +265,7 @@ def d_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_j = F.coalesce(F.col("c"), F.lit(0)) * 1.0 / (
         F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0))
     )
-    return (
+    out = (
         pairs.join(F.broadcast(sa), on="id_a")
         .join(F.broadcast(sb), on="id_b")
         .join(inter, on=["id_a", "id_b"], how="left")
@@ -272,6 +277,9 @@ def d_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - true_j), 6).alias("abs_err"),
         )
     )
+    from oem_gateway_spark.operators.dedup import _own_cache
+
+    return _own_cache(out, pairs, *getattr(pairs_full, "_owned_caches", ()))
 
 
 _SIMHASH_HAMMING_SQL = " + ".join(

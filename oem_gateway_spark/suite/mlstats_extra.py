@@ -137,11 +137,16 @@ def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: identical shape to d_minhash_accuracy — the tiny LSH pair
     list broadcasts into both shingle probes; the only heavy exchange
-    is the per-pair intersection count."""
-    from oem_gateway_spark.operators.dedup import minhash_lsh_pairs
+    is the per-pair intersection count.  The pair list is persisted
+    (r13): it feeds the intersection probe AND the final join, and
+    without the persist the banded candidate self-join re-ran per
+    reference (the signature persist inside minhash_lsh_pairs only
+    covers the stages below the band explode)."""
+    from oem_gateway_spark.operators.dedup import _own_cache, minhash_lsh_pairs
 
     corpus = _corpus(spark, sf_dir)
-    pairs = minhash_lsh_pairs(corpus).select("id_a", "id_b")
+    pairs_full = minhash_lsh_pairs(corpus)
+    pairs = pairs_full.select("id_a", "id_b").persist()
     grams = corpus.select(
         "doc_id",
         F.explode(
@@ -161,7 +166,7 @@ def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     c = F.coalesce(F.col("c"), F.lit(0))
     mn = F.least(F.col("na"), F.col("nb"))
-    return (
+    out = (
         pairs.join(F.broadcast(sa), on="id_a")
         .join(F.broadcast(sb), on="id_b")
         .join(inter, on=["id_a", "id_b"], how="left")
@@ -172,6 +177,7 @@ def d_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (c * 10 >= mn * 9).alias("is_subset_copy"),
         )
     )
+    return _own_cache(out, pairs, *getattr(pairs_full, "_owned_caches", ()))
 
 
 @query(
