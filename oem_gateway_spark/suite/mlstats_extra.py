@@ -13,6 +13,9 @@ above the accumulation-order drift.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -411,10 +414,14 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak on both engines, so a last-ulp numpy-vs-DuckDB drift
     cannot flip an assignment (r5 ADVICE).
 
-    Plan: centroid assignment is a broadcast crossJoin (k rows) + one
-    per-vector argmax — map-only; the size table is k rows, broadcast
-    back; the within-cluster pair join shuffles once on the final
-    cluster id.  Per-cluster counts close it out."""
+    Plan (r13): centroid assignment is a MAP-SIDE pandas argmax against
+    the k x dim centroid matrix (guide §8 — the old broadcast crossJoin
+    materialized n*k scored rows through ArrowEvalPython and shuffled
+    them on vec_id for a row_number argmax); the size table is k rows,
+    broadcast back; the within-cluster scoring is one applyInPandas
+    gram matrix per size-capped cluster — ONE exchange (on the final
+    cluster id) for the whole query, each vector crossing the Python
+    boundary once."""
     from oem_gateway_spark.functions import vectors as V
     from oem_gateway_spark.suite.llm import DOC_OFFSET
 
@@ -428,30 +435,50 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding").unionByName(copy)
     n_corpus = corpus.count()  # driver scalar: one number, sizes k
     k = max(1, -(-n_corpus // _SEM_TARGET))
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    # r13 optimization (guide §8 — decide with small rows): centroid
+    # assignment is a MAP-SIDE argmax against the centroid matrix in
+    # the UDF closure, replacing the crossJoin(broadcast(cent)) + Arrow
+    # cosine + row_number window — the old shape materialized n*k rows
+    # each carrying two embedding arrays through ArrowEvalPython and
+    # then shuffled them on vec_id just to argmax.  The matrix is k x
+    # dim (the same size class the broadcast already put on every
+    # executor; collected ordered by cid, so numpy's first-max argmax
+    # IS the round(cos,6)-desc, cid-asc tiebreak).  Rounding emulates
+    # Spark's HALF_UP at 6 decimals; a tie between DISTINCT centroids
+    # at the 1e-6 grain is the same knife-edge class the two-engine
+    # oracle comparison already absorbs (hash-green today with
+    # different fold orders).
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        F.round(V.cosine_pandas(F.col("embedding"), F.col("cv")), 6).alias(
-            "cos"
-        ),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("cid")
-    )
-    # assign0 feeds the size table AND (via the re-split join) both
-    # pair-join sides and the final per-cluster count; persist so the
-    # crossJoin + Arrow cosine + argmax window run once (2.3x wall at
-    # sf0.1 otherwise; caller releases via release_caches).
-    assign0 = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding")
-        .persist()
-    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
+    C = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    @pandas_udf("long")
+    def _assign(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.to_numpy()).astype("float64")
+        dots = X @ C.T
+        xnorm = np.sqrt(np.einsum("ij,ij->i", X, X))
+        denom = np.outer(xnorm, cnorm)
+        cos = np.where(denom != 0, dots / np.where(denom == 0, 1, denom), np.nan)
+        # Spark round(x, 6) HALF_UP emulation; NaN propagates and
+        # np.argmax returns the first (lowest-cid) NaN, matching
+        # Spark's NaN-greatest descending order with cid tiebreak.
+        r = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+        return pd.Series(cent_ids[np.argmax(r, axis=1)])
+
+    # assign0 feeds the size table AND (via the re-split join) the
+    # per-cluster scorer; persist so the map-side argmax runs once
+    # (caller releases via release_caches).
+    assign0 = corpus.select(
+        "vec_id", _assign(F.col("embedding")).alias("cid"), "embedding"
+    ).persist()
     sizes = assign0.groupBy("cid").agg(F.count("*").alias("sz"))
     n_sub = F.ceil(F.col("sz") / F.lit(float(_SEM_TARGET))).cast("long")
     argmax_dim = F.array_position(
@@ -475,33 +502,47 @@ def d_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = assign.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = assign.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    )
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(V.cosine_pandas(F.col("ea"), F.col("eb")) >= _SEM_THRESH)
-        .select(F.col("cid").alias("d_cid"), F.col("id_b").alias("victim"))
-        .distinct()
-    )
+    # Per-cluster dedup scoring as ONE applyInPandas per (size-capped)
+    # cluster: sort by vec_id, one gram matrix, a vector is dropped iff
+    # some LOWER-id cluster member has cosine >= threshold with it —
+    # exactly the old id_a < id_b pair join + distinct-victim count,
+    # with each vector crossing the Python boundary once instead of
+    # once per within-cluster pair (r13; same rewrite and same last-ulp
+    # argument as s_embedding_neardup).
+    def _cluster_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        n = len(pdf)
+        cid = pdf["cid"].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "cluster": [cid],
+                    "n_vectors": [n],
+                    "n_dropped": [0],
+                    "n_survivors": [n],
+                }
+            )
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        dots = X @ X.T
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        denom = np.outer(norms, norms)
+        cos = np.where(denom != 0, dots / np.where(denom == 0, 1, denom), np.nan)
+        hit = cos >= _SEM_THRESH
+        # victim j iff any i < j hits it: strict upper triangle, any per column
+        dropped = int(np.count_nonzero(np.triu(hit, k=1).any(axis=0)))
+        return pd.DataFrame(
+            {
+                "cluster": [cid],
+                "n_vectors": [n],
+                "n_dropped": [dropped],
+                "n_survivors": [n - dropped],
+            }
+        )
+
     from oem_gateway_spark.operators.dedup import _own_cache
 
-    out = (
-        assign.join(
-            dropped,
-            (F.col("cid") == F.col("d_cid"))
-            & (F.col("vec_id") == F.col("victim")),
-            "left",
-        )
-        .groupBy(F.col("cid").alias("cluster"))
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.count("victim").alias("n_dropped"),
-            (F.count("*") - F.count("victim")).alias("n_survivors"),
-        )
+    out = assign.groupBy("cid").applyInPandas(
+        _cluster_counts,
+        "cluster long, n_vectors long, n_dropped long, n_survivors long",
     )
     return _own_cache(out, assign0, assign)

@@ -643,13 +643,16 @@ def test_hll_merge_is_two_scans(spark):
 
 
 def test_semdedup_centroids_broadcast(spark):
-    """Centroid assignment must broadcast the k seed vectors (the
-    k-row crossJoin plans as a broadcast nested-loop); the only keyed
-    shuffles are the per-vector argmax window and the within-cluster
-    pair join."""
+    """Centroid assignment is MAP-SIDE (r13: pandas argmax against the
+    k x dim centroid matrix in the UDF closure — no crossJoin, so no
+    BroadcastNestedLoopJoin and no n*k row materialization); the k-row
+    size table still broadcasts back, and the only keyed shuffle is the
+    per-cluster applyInPandas grouping."""
     df = REGISTRY["d_semdedup_centroid"].fn(spark, SF)
     text = explain_str(df)
     assert "BroadcastExchange" in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+    assert "FlatMapGroupsInPandas" in text, text
     assert "rangepartitioning" not in text, text
 
 
