@@ -1,5 +1,5 @@
 """Arrow-vectorized frame parsing: same semantics as functions/frames.py,
-executed as mapInPandas over pandas/numpy batches.
+executed as mapInArrow over Arrow record batches (numpy/pyarrow kernels).
 
 Why both exist: the HOF chain in frames.py is the SPEC — pure Catalyst
 expressions, oracle-matched, zero Python.  But Spark evaluates array-lambda
@@ -10,8 +10,10 @@ equivalence on the corpus fixtures (test_frames_equivalence).
 
 Vectorization shape (r2, re-vectorized r13): tokens of a whole Arrow batch
 flatten into ONE array; per-row reductions run as ``np.bincount`` over a
-row-index vector.  The only remaining per-row work is slicing the converted
-numeric array back into per-row value lists.
+row-index vector.  Since the r13 mapInArrow port there is NO per-row
+Python left: the output ``values`` column is built as an Arrow ListArray
+from an offsets vector over one gathered numeric buffer (guide §4.2's
+re-slicing note), and batches never convert to pandas at the boundary.
 
 r13 optimization (guide §4.2 — hand whole batches to vectorized native
 kernels): tokenize/flatten/parse moved from pandas object-dtype ops
@@ -80,9 +82,11 @@ class _TokenBatch:
     # matches, casts to inf, and is caught by the isfinite test below.
     _FLOAT_RE = r"^[+-]?(([0-9]+\.?[0-9]*)|(\.[0-9]+))([eE][+-]?[0-9]+)?$"
 
-    def __init__(self, lines: pd.Series, rfm2pi: bool):
+    def __init__(self, lines: pa.Array | pd.Series, rfm2pi: bool):
+        if isinstance(lines, pd.Series):
+            lines = pa.Array.from_pandas(lines.astype("object"))
         n = len(lines)
-        arr = pa.Array.from_pandas(lines.astype("object"))
+        arr = lines
         if arr.null_count:
             arr = arr.fill_null("")
         stripped_pa = pc.utf8_trim_whitespace(arr)
@@ -156,25 +160,45 @@ class _TokenBatch:
         self.nums = nums
         self.is_int = is_int
 
-    def values_per_row(self, rows: np.ndarray) -> list[np.ndarray]:
-        """Per-row value arrays (tokens after the node id) for given rows —
-        slices of the one converted numeric array, no re-parsing."""
-        # ndarray.tolist() is a single C call per row — cheap next to the
-        # float parsing it replaced; Arrow's converter wants list cells.
-        return [
-            self.nums[s + 1 : s + ln].tolist()
-            for s, ln in zip(self.starts[rows], self.lens[rows])
-        ]
-
-
-def _classify_batch(lines: pd.Series, rfm2pi: bool) -> tuple[pd.Series, _TokenBatch]:
-    """Vectorized classification: (reason series, token batch)."""
+def _classify_batch(
+    lines: pd.Series, rfm2pi: bool
+) -> tuple[pd.Series, _TokenBatch]:
+    """Vectorized classification over a pandas batch: (reason series,
+    token batch).  The query paths are mapInArrow and build _TokenBatch
+    directly from the Arrow column; this wrapper serves the pandas-side
+    property tests (tests/test_sources_extra.py fuzz model)."""
     tb = _TokenBatch(lines, rfm2pi)
     return pd.Series(tb.reason, index=lines.index, dtype=object), tb
 
 
+def _segment_gather(nvals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row segment machinery for one flat gather: returns
+    ``(j, offsets)`` where ``j`` is the 0..nvals[r] intra-row ramp
+    (callers add it, scaled by their element stride, to per-row start
+    positions) and ``offsets`` is the int32 Arrow ListArray offsets
+    vector encoding the same segmentation."""
+    n = len(nvals)
+    total = int(nvals.sum())
+    cum0 = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(nvals[:-1], out=cum0[1:])
+    j = np.arange(total, dtype=np.int64) - np.repeat(cum0, nvals)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    if n:
+        np.cumsum(nvals, out=offsets[1:], dtype=np.int32)
+    return j, offsets
+
+
+def _take_batch(rb: pa.RecordBatch, names: list[str], rows: np.ndarray) -> list:
+    """Gather the passthrough columns of an Arrow batch at ``rows``."""
+    idx = pa.array(rows, type=pa.int64())
+    return [rb.column(rb.schema.get_field_index(c)).take(idx) for c in names]
+
+
 def parse_serial_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame:
-    """Vectorized twin of frames.parse_serial_frames."""
+    """Vectorized twin of frames.parse_serial_frames (r13: mapInArrow —
+    the ``values`` ListArray is an offsets vector over one gathered
+    numeric buffer; no pandas conversion, no per-row list building)."""
     passthrough = [f for f in df.schema.fields if f.name != line_col]
     out_schema = StructType(
         passthrough
@@ -184,27 +208,34 @@ def parse_serial_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame
         ]
     )
     names = [f.name for f in passthrough]
+    out_names = names + ["node", "values"]
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            reason, tb = _classify_batch(pdf[line_col], rfm2pi=False)
-            ok = (reason == VALID).to_numpy()
-            rows = np.flatnonzero(ok)
-            out = pdf.loc[ok, names].copy()
-            # node = int(float(tok0)): C-cast truncation toward zero matches.
-            out["node"] = tb.nums[tb.starts[rows]].astype(np.int32)
-            out["values"] = pd.Series(
-                tb.values_per_row(rows), index=out.index, dtype=object
+    def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            tb = _TokenBatch(
+                rb.column(rb.schema.get_field_index(line_col)), rfm2pi=False
             )
-            yield out
+            rows = np.flatnonzero(tb.reason == VALID)
+            # node = int(float(tok0)): C-cast truncation toward zero matches.
+            node = pa.array(tb.nums[tb.starts[rows]].astype(np.int32))
+            nvals = tb.lens[rows] - 1
+            j, offsets = _segment_gather(nvals)
+            flat = tb.nums[np.repeat(tb.starts[rows] + 1, nvals) + j]
+            values = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat, type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                _take_batch(rb, names, rows) + [node, values], names=out_names
+            )
 
-    return df.mapInPandas(_batches, out_schema)
+    return df.mapInArrow(_batches, out_schema)
 
 
 def parse_rfm2pi_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame:
     """Vectorized twin of frames.parse_rfm2pi_frames (int16 pair decode:
     lo + 256*hi, two's complement at >= 32768) — one global numpy pass for
-    the whole batch, no per-row decode calls."""
+    the whole batch, and (r13) the decoded flat vector IS the ListArray
+    value buffer: mapInArrow, no per-row splits or lists."""
     passthrough = [f for f in df.schema.fields if f.name != line_col]
     out_schema = StructType(
         passthrough
@@ -214,52 +245,54 @@ def parse_rfm2pi_frames_fast(df: DataFrame, line_col: str = "line") -> DataFrame
         ]
     )
     names = [f.name for f in passthrough]
+    out_names = names + ["node", "values"]
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            reason, tb = _classify_batch(pdf[line_col], rfm2pi=True)
-            ok = (reason == VALID).to_numpy()
-            rows = np.flatnonzero(ok)
-            out = pdf.loc[ok, names].copy()
-            out["node"] = tb.nums[tb.starts[rows]].astype(np.int32)
+    def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            tb = _TokenBatch(
+                rb.column(rb.schema.get_field_index(line_col)), rfm2pi=True
+            )
+            rows = np.flatnonzero(tb.reason == VALID)
+            node = pa.array(tb.nums[tb.starts[rows]].astype(np.int32))
             # Global pair decode: flat positions of lo bytes across all
-            # valid rows, one add/compare pass, then slice back per row.
+            # valid rows, one add/compare pass; offsets re-slice it.
             nvals = (tb.lens[rows] - 1) // 2
-            total = int(nvals.sum())
-            cum0 = np.zeros(len(rows), dtype=np.int64)
-            if len(rows):
-                np.cumsum(nvals[:-1], out=cum0[1:])
-            j = np.arange(total, dtype=np.int64) - np.repeat(cum0, nvals)
+            j, offsets = _segment_gather(nvals)
             lo = np.repeat(tb.starts[rows] + 1, nvals) + 2 * j
             raw = (tb.nums[lo] + 256 * tb.nums[lo + 1]).astype(np.int64)
             dec = np.where(raw >= 32768, raw - 65536, raw).astype(np.int32)
-            bounds = np.cumsum(nvals)[:-1] if len(rows) else []
-            vals = [a.tolist() for a in np.split(dec, bounds)] if len(rows) else []
-            out["values"] = pd.Series(vals, index=out.index, dtype=object)
-            yield out
+            values = pa.ListArray.from_arrays(pa.array(offsets), pa.array(dec))
+            yield pa.RecordBatch.from_arrays(
+                _take_batch(rb, names, rows) + [node, values], names=out_names
+            )
 
-    return df.mapInPandas(_batches, out_schema)
+    return df.mapInArrow(_batches, out_schema)
 
 
 def dead_letter_fast(
     df: DataFrame, line_col: str = "line", rfm2pi: bool = False
 ) -> DataFrame:
-    """Vectorized twin of frames.dead_letter."""
+    """Vectorized twin of frames.dead_letter (r13: mapInArrow)."""
     from pyspark.sql.types import StringType
 
     out_schema = StructType(
         list(df.schema.fields) + [StructField("reject_reason", StringType())]
     )
+    in_names = [f.name for f in df.schema.fields]
+    out_names = in_names + ["reject_reason"]
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            reason, _ = _classify_batch(pdf[line_col], rfm2pi=rfm2pi)
-            bad = reason != VALID
-            out = pdf.loc[bad].copy()
-            out["reject_reason"] = reason[bad]
-            yield out
+    def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            tb = _TokenBatch(
+                rb.column(rb.schema.get_field_index(line_col)), rfm2pi=rfm2pi
+            )
+            rows = np.flatnonzero(tb.reason != VALID)
+            reason = pa.array(tb.reason[rows], type=pa.string())
+            yield pa.RecordBatch.from_arrays(
+                _take_batch(rb, in_names, rows) + [reason], names=out_names
+            )
 
-    return df.mapInPandas(_batches, out_schema)
+    return df.mapInArrow(_batches, out_schema)
 
 
 def classify_reasons_fast(
@@ -269,18 +302,20 @@ def classify_reasons_fast(
     restricted to the classification outcome: EVERY row with its
     ``reject_reason`` ('valid' included), no token array materialized.
     The reject-stats queries only aggregate reasons, so shipping toks
-    back across the Arrow boundary would be pure waste."""
+    back across the Arrow boundary would be pure waste (r13: mapInArrow)."""
     from pyspark.sql.types import StringType
 
     out_schema = StructType(
         list(df.schema.fields) + [StructField("reject_reason", StringType())]
     )
+    out_names = [f.name for f in df.schema.fields] + ["reject_reason"]
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            reason, _ = _classify_batch(pdf[line_col], rfm2pi=rfm2pi)
-            out = pdf.copy()
-            out["reject_reason"] = reason
-            yield out
+    def _batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            tb = _TokenBatch(
+                rb.column(rb.schema.get_field_index(line_col)), rfm2pi=rfm2pi
+            )
+            reason = pa.array(tb.reason, type=pa.string())
+            yield rb.append_column("reject_reason", reason)
 
-    return df.mapInPandas(_batches, out_schema)
+    return df.mapInArrow(_batches, out_schema)

@@ -1,4 +1,4 @@
-"""Row-exact equivalence of the vectorized (mapInPandas) parse path vs the
+"""Row-exact equivalence of the vectorized (mapInArrow) parse path vs the
 HOF spec in functions/frames.py, over a corpus covering every reject class
 and numeric edge case."""
 
