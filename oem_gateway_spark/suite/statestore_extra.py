@@ -140,15 +140,29 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _scoped_conf(spark, scoped):
         out = _upsert_changelog_stream(spark, sf_dir)
         name = f"rocksdb_upsert_{os.getpid()}_{next(_SEQ)}"
+        # Explicit checkpoint dir (same scratch/sweep discipline as the
+        # resume/reader twins) so the changelog-file count below can be
+        # taken from the state dir — the customMetrics alone cannot
+        # distinguish changelog commits from snapshot commits.
+        ckpt = os.path.join(_resume_scratch(), "ckpt")
         q = (
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        STATE_METRICS["stream_upsert_rocksdb"] = _custom_state_metrics(q)
+        STATE_METRICS["stream_upsert_rocksdb"] = {
+            **_custom_state_metrics(q),
+            "changelog_files": len(
+                glob.glob(
+                    os.path.join(ckpt, "state", "**", "*.changelog"),
+                    recursive=True,
+                )
+            ),
+        }
         log = spark.table(name)
     return _upsert_final_state(log)
 

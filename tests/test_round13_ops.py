@@ -320,6 +320,24 @@ def test_rocksdb_full_outer_provider_live(spark):
     assert m["changelog_files"] > 0, "changelog checkpointing not active"
 
 
+def test_rocksdb_upsert_changelog_live(spark):
+    """stream_upsert_rocksdb switched to changelog checkpointing in the
+    r13 optimization round; this pins the optimization as LIVE (changelog
+    files in the state dir), on top of the r9 pin that the provider runs
+    and the result equals the default-provider twin — the result hash
+    alone cannot tell a snapshot commit from a changelog commit."""
+    from oem_gateway_spark.suite.statestore_extra import STATE_METRICS
+    from oem_gateway_spark.suite import REGISTRY
+
+    out = REGISTRY["stream_upsert_rocksdb"].fn(spark, SF)
+    assert out.count() > 0
+    m = STATE_METRICS["stream_upsert_rocksdb"]
+    assert any(k.lower().startswith("rocksdb") for k in m), (
+        f"no rocksdb custom metrics — provider not live: {sorted(m)[:5]}"
+    )
+    assert m["changelog_files"] > 0, "changelog checkpointing not active"
+
+
 def test_join_then_window_chain_shape(spark):
     """The chained query must execute BOTH stateful operators in ONE
     streaming query (join + windowed agg), replay the sentinel batch,
