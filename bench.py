@@ -487,6 +487,8 @@ def main() -> None:
     )
     frames_per_sec = round(n_frames / max(timings["g_parse_serial"], 1e-9), 1)
 
+    baseline_cmp = _baseline_comparison(here, timings, cpu_calibration)
+    git_head = _git_head(here)
     line = json.dumps(
         {
             "metric": "headline_suite_wall",
@@ -495,9 +497,7 @@ def main() -> None:
             "queries": timings,
             "r2_comparable_wall": r2_wall,
             **walls,
-            "calibrated_baseline": _baseline_comparison(
-                here, timings, cpu_calibration
-            ),
+            "calibrated_baseline": baseline_cmp,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "parse_frames_per_sec": frames_per_sec,
             "reference_frames_per_sec": 5.0,
@@ -509,7 +509,34 @@ def main() -> None:
             },
             # Round disambiguator (r9 ADVICE): lets an unchanged-headline
             # round self-label — see the full-artifact guard below.
-            "git_head": _git_head(here),
+            "git_head": git_head,
+            # Tail-parseable compact record, LAST key on purpose (r13
+            # VERDICT #3: the driver's BENCH_rNN.json keeps only a
+            # 2000-char tail of this line, and in r12 that truncation cut
+            # the head of the ~6 KB queries dict, nulling every prev/now
+            # pair in PERF_r13).  Everything a round-over-round judge
+            # needs — wall, per-round comparable-set walls, the spin
+            # ruler, the checkout — now sits inside the final ~1.2 KB, so
+            # brace-matching on '"summary": {' recovers it from any tail
+            # that keeps the line's end.  The line itself remains the ONE
+            # JSON object of the driver contract (a second printed line
+            # risks the driver parsing the wrong one); per-query detail
+            # stays in "queries" above, unchanged.
+            "summary": {
+                "wall": total,
+                "n_queries": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "r2_comparable_wall": r2_wall,
+                "comparable_walls": walls,
+                "spin_1t_sec": cpu_calibration.get("spin_1t_sec"),
+                "loadavg_start_1m": round(load_start[0], 2),
+                "baseline_wall_ratio_spin_normalized": (
+                    baseline_cmp.get("wall_ratio_spin_normalized")
+                    if baseline_cmp
+                    else None
+                ),
+                "git_head": git_head,
+            },
         }
     )
     # Persist the COMPLETE output for the round in progress (= newest

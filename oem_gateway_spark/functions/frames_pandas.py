@@ -89,12 +89,24 @@ class _TokenBatch:
         arr = lines
         if arr.null_count:
             arr = arr.fill_null("")
-        stripped_pa = pc.utf8_trim_whitespace(arr)
-        # Trimmed input means no leading/trailing separators; "" still
-        # splits to [""], whose phantom token is harmless: empty rows
-        # classify REASON_EMPTY before any token logic and never reach
-        # the undecided masks or the value slicer.
-        toks_pa = pc.split_pattern_regex(stripped_pa, r"\s+")
+        # Spec-exact whitespace grammar (r13 ADVICE): the Catalyst spec
+        # chain is F.split(F.trim(line), r"\s+") — Spark trim removes
+        # SPACES only, and Java \s is [ \t\n\x0B\f\r].  The previous
+        # Arrow port (utf8_trim_whitespace + RE2 \s, which lacks \x0B
+        # and trims the wider Unicode set) classified lines containing
+        # \x0B or exotic Unicode spaces differently from the spec it
+        # claims row-exactness against.  Both deviations are latent on
+        # the ASCII-space testdata; the equivalence corpus now carries
+        # the divergent characters so this stays pinned.
+        stripped_pa = pc.utf8_trim(arr, " ")
+        # Trimmed input means no leading/trailing SPACE separators; ""
+        # still splits to [""], whose phantom token is harmless: empty
+        # rows classify REASON_EMPTY before any token logic and never
+        # reach the undecided masks or the value slicer.  Leading or
+        # trailing NON-space whitespace produces empty edge tokens —
+        # exactly what the spec's Java split(-1) produces, and they
+        # reject the frame as non-numeric on both paths.
+        toks_pa = pc.split_pattern_regex(stripped_pa, r"[ \t\n\x0B\f\r]+")
         offsets = toks_pa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.diff(offsets)
         starts = offsets[:-1] - offsets[0]

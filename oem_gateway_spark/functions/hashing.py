@@ -168,6 +168,77 @@ def simhash64_bands_from_bit_sums(sums: list[Column], n: Column) -> list[Column]
     return bands
 
 
+# Packed popcount accumulation (r14, guide §2.3 "shuffle fewer bytes"):
+# 4 x 16-bit lanes per long -> 16 packed sum columns instead of 64.
+# Lane arithmetic is carry-free while every per-doc token count stays
+# <= SIMHASH_PACKED_MAX_TOKENS: each lane total <= n < 2^15, and the
+# worst-case packed sum n * 0x0001000100010001 < 2^63 never overflows
+# the signed accumulator.  Corpora with longer documents move to 32-bit
+# lanes (2 per long, 32 columns) — the runtime guard in
+# simhash64_bands_from_packed names that switch instead of ever letting
+# a lane carry silently corrupt a signature.
+_SIMHASH_PACKED_COLS = 16
+_SIMHASH_LANE_MASK = 0x0001000100010001
+SIMHASH_PACKED_MAX_TOKENS = (1 << 15) - 1
+
+
+def simhash64_packed_cols(lo: Column, hi: Column) -> list[Column]:
+    """16 packed per-token accumulator columns (4 x 16-bit lanes each).
+
+    ``packed[g] = (h64 >> g) & 0x0001000100010001`` drops bit ``g + 16r``
+    of the 64-bit token hash into lane ``r`` — ONE shift + ONE mask per
+    column versus the 64 separate shift/AND extractions of
+    :func:`simhash64_bit_cols` (which stays as the readable spec form the
+    equivalence test drives both paths against).  Summing the packed
+    longs accumulates four lane counts per add, so the aggregation
+    buffer narrows 65 -> 17 longs and the per-token hash-agg update does
+    16 adds instead of 64.  NULL token hashes (explode_outer of an empty
+    doc) stay NULL and are skipped by SUM, exactly like the unpacked
+    form."""
+    h64 = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return [
+        F.shiftrightunsigned(h64, g).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+        for g in range(_SIMHASH_PACKED_COLS)
+    ]
+
+
+def simhash64_bands_from_packed(
+    packed_sums: list[Column], n: Column
+) -> list[Column]:
+    """4 x 16-bit band columns from the 16 packed lane sums + token count.
+
+    Unpacks lane ``r`` of ``packed_sums[g]`` back into the per-bit sum of
+    bit ``g + 16r`` (shift + 0xFFFF mask — exact integers, so the
+    majority vote is IDENTICAL arithmetic to
+    :func:`simhash64_bands_from_bit_sums` over unpacked sums), after a
+    runtime overflow guard: a document with more than
+    SIMHASH_PACKED_MAX_TOKENS tokens would carry between lanes, so it
+    raises (assert_true) rather than sign a wrong signature.  The guard
+    evaluates once per aggregated doc row — post-aggregation, i.e. docs
+    not tokens."""
+    guard = F.assert_true(
+        n <= F.lit(SIMHASH_PACKED_MAX_TOKENS),
+        F.lit(
+            "simhash64 packed popcount: a document exceeds "
+            f"{SIMHASH_PACKED_MAX_TOKENS} tokens per doc; switch "
+            "simhash64_signatures to 32-bit lanes"
+        ),
+    )
+    sums: list[Column] = []
+    for b in range(SIMHASH_BITS):
+        g, r = b % _SIMHASH_PACKED_COLS, b // _SIMHASH_PACKED_COLS
+        lane = F.shiftrightunsigned(
+            F.coalesce(packed_sums[g], F.lit(0)), 16 * r
+        ).bitwiseAND(F.lit(0xFFFF))
+        if b == 0:
+            # Thread the guard through one always-used lane: assert_true
+            # yields NULL on success, so the when() resolves to the lane
+            # value; on violation the job fails with the message above.
+            lane = F.when(guard.isNull(), lane)
+        sums.append(lane)
+    return simhash64_bands_from_bit_sums(sums, n)
+
+
 def simhash64_sql_ctes() -> str:
     """DuckDB CTE chain (toks -> hashed -> sums -> sig0 -> sig) computing
     (doc_id, sh_b0..sh_b3, simhash_hex) from a CTE named ``corpus`` — the

@@ -389,8 +389,8 @@ def simhash64_signatures(
 ) -> DataFrame:
     """(id, sh_b0..sh_b3, simhash_hex): 64-bit SimHash as 4 x 16-bit bands.
 
-    Physical shape mirrors :func:`minhash_components`: token explode -> 64
-    branch-free bit-popcount sums + one token count over FLAT hash columns
+    Physical shape mirrors :func:`minhash_components`: token explode ->
+    PACKED bit-popcount sums + one token count over FLAT hash columns
     (majority vote = ``2*popcount > n``) — whole-stage codegen, with
     partial aggregation collapsing each doc per partition before the
     single id shuffle, so at 100 TB the exchange carries docs, not tokens.
@@ -398,6 +398,16 @@ def simhash64_signatures(
     outside codegen and re-walks the token array per bit.)
     ``explode_outer`` keeps empty documents: SUM skips their NULL token
     hash and the count is 0, giving the all-zero signature.
+
+    r14 (guide §2.3, r13 VERDICT #7): the 64 per-bit sums accumulate as
+    16 packed longs (4 x 16-bit lanes; ONE shift + ONE mask per packed
+    column per token instead of 64 extractions, 16 buffer adds instead
+    of 64, and the partial-agg exchange row narrows 65 -> 17 longs).
+    Lane sums unpack to the IDENTICAL integers, so signatures are
+    byte-identical; a >32767-token document fails loudly via the lane
+    overflow guard in ``simhash64_bands_from_packed`` (the spec form
+    ``simhash64_bit_cols`` stays, pinned equivalent by
+    tests/test_round14_ops.py).
     """
     toks = df.select(
         F.col(id_col), F.explode_outer(H.words(F.col(text_col))).alias("_w")
@@ -412,13 +422,13 @@ def simhash64_signatures(
         H.md5_slice32(F.col("_m"), 1).alias("_lo"),
         H.md5_slice32(F.col("_m"), 9).alias("_hi"),
     )
-    bits = H.simhash64_bit_cols(F.col("_lo"), F.col("_hi"))
+    packed = H.simhash64_packed_cols(F.col("_lo"), F.col("_hi"))
     agg = hashed.groupBy(id_col).agg(
         F.count("_lo").alias("_n"),
-        *[F.sum(t).alias(f"_s{b}") for b, t in enumerate(bits)],
+        *[F.sum(t).alias(f"_s{g}") for g, t in enumerate(packed)],
     )
-    bands = H.simhash64_bands_from_bit_sums(
-        [F.col(f"_s{b}") for b in range(H.SIMHASH_BITS)], F.col("_n")
+    bands = H.simhash64_bands_from_packed(
+        [F.col(f"_s{g}") for g in range(len(packed))], F.col("_n")
     )
     return agg.select(
         F.col(id_col), *[band.alias(f"sh_b{j}") for j, band in enumerate(bands)]
@@ -543,6 +553,13 @@ def ngram_jaccard_pairs(
         )
         .select("gid", F.expr(f"substring(t, pos, {n})").alias("gram"))
         .distinct()
+        # r14 (guide §5): grams feeds THREE consumers — sizes, and both
+        # intersection probes — so without the persist the normalize +
+        # position explode + distinct shuffle re-ran three times per
+        # action (the same duplicated-stage shape r13 fixed in
+        # d_minhash_accuracy's pair list).  Caller releases via the
+        # _own_cache convention.
+        .persist()
     )
     sizes = grams.groupBy("gid").agg(F.count("*").alias("n_grams"))
     a_g = grams.select(F.col("gid").alias("id_a"), "gram")
@@ -556,7 +573,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("gid").alias("id_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col("gid").alias("id_b"), F.col("n_grams").alias("n_b"))
-    return (
+    return _own_cache(
         pairs.select("id_a", "id_b")
         .join(inter, on=["id_a", "id_b"], how="left")
         .join(sa, on="id_a")
@@ -569,7 +586,8 @@ def ngram_jaccard_pairs(
                 / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
                 6,
             ).alias("jaccard"),
-        )
+        ),
+        grams,
     )
 
 

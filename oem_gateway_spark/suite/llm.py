@@ -244,12 +244,16 @@ def d_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature build below the band explode).
     pairs_full = D.minhash_lsh_pairs(corpus)
     pairs = pairs_full.persist()
+    # r14 (guide §5): grams feeds THREE consumers — sizes and both
+    # intersection probes (ga, gb) — so the corpus scan + tokenize +
+    # shingle explode re-ran three times per action; persist it once
+    # (released with the pair list below).
     grams = corpus.select(
         "doc_id",
         F.explode(
             F.array_distinct(H.shingles(H.words(F.col("text")), k=3))
         ).alias("s"),
-    )
+    ).persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ga = grams.select(F.col("doc_id").alias("ga_id"), F.col("s").alias("ga_s"))
     gb = grams.select(F.col("doc_id").alias("gb_id"), F.col("s").alias("gb_s"))
@@ -279,7 +283,9 @@ def d_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from oem_gateway_spark.operators.dedup import _own_cache
 
-    return _own_cache(out, pairs, *getattr(pairs_full, "_owned_caches", ()))
+    return _own_cache(
+        out, pairs, grams, *getattr(pairs_full, "_owned_caches", ())
+    )
 
 
 _SIMHASH_HAMMING_SQL = " + ".join(
@@ -600,18 +606,20 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant cosine must catch all of them; same-bucket by construction).
 
     Plan (r13 optimization, guide §8 — decide with small rows): the
-    within-bucket pair scoring runs as ONE applyInPandas per bucket
-    (sort by vec_id, one gram matrix, upper triangle -> pairs), so the
-    Python boundary carries each vector ONCE (|corpus| rows) instead of
-    once per candidate pair.  The previous bucket self-join materialized
-    ~m^2/2 pair rows per bucket EACH carrying two embedding arrays
-    through ArrowEvalPython (~40x the bytes at sf0.1; measured 7.4 s ->
-    see OPTIMIZATION_r13.md).  The numpy gram matrix and the per-pair
-    einsum agree far beyond the 0.9999 gap / round(,6) grain — the same
-    last-ulp class the oracle comparison already absorbs."""
-    import numpy as np
-    import pandas as pd
+    within-bucket pair scoring runs as applyInPandas gram matrices, so
+    the Python boundary carries each vector ONCE per scoring group
+    instead of once per candidate pair.  The pre-r13 bucket self-join
+    materialized ~m^2/2 pair rows per bucket EACH carrying two embedding
+    arrays through ArrowEvalPython (~40x the bytes at sf0.1; measured
+    7.4 s -> see OPTIMIZATION_r13.md).
 
+    r14 (r13 VERDICT #1): the scoring groups are SIZE-BOUNDED — an LSH
+    bucket is where near-dups concentrate by construction, so at 100 TB
+    a hot bucket fed one Python worker an uncapped m x m gram matrix
+    (single-task OOM).  ``_neardup_pairs`` splits oversized buckets into
+    block-pair groups of at most ~2 x _NEARDUP_GROUP_CAP vectors while
+    emitting the IDENTICAL pair set (triangle decomposition — every
+    same-bucket pair scores in exactly one group)."""
     emb = load_table(spark, sf_dir, "embeddings")
     copy = emb.select(
         (F.col("vec_id") + DOC_OFFSET).alias("vec_id"),
@@ -625,35 +633,119 @@ def s_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         S.lsh_bucket_fast(F.col("embedding")).alias("bucket"),
     )
+    pairs = _neardup_pairs(b, _NEARDUP_GROUP_CAP)
+    return pairs.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
-    def per_bucket(pdf: pd.DataFrame):
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
-            )
-        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        dots = X @ X.T
-        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
-        denom = np.outer(norms, norms)
-        cos = np.where(
-            denom != 0, dots / np.where(denom == 0, 1, denom), np.nan
+
+# Max vectors per near-dup scoring group: a block pair holds <= 2*cap
+# vectors, so the per-task gram scratch is bounded by ~cap^2 doubles
+# (4096 -> ~134 MB worst case) regardless of how hot an LSH bucket gets.
+_NEARDUP_GROUP_CAP = 4096
+
+
+def _neardup_pairs(b: DataFrame, cap: int) -> DataFrame:
+    """All same-bucket (id_a < id_b, cos_raw) pairs with cosine >= 0.9999
+    over ``b`` (columns: bucket, vec_id, embedding), scored in
+    SIZE-BOUNDED applyInPandas groups.
+
+    Triangle decomposition (r14; guide §2.5 salting + §8): each bucket of
+    m vectors hash-splits into nblk = ceil(m / cap) blocks
+    (pmod(xxhash64(vec_id), nblk) — deterministic, so task retries
+    reproduce the assignment), and every unordered block pair (i <= j)
+    scores as its own group; a vector in block g replicates into exactly
+    the nblk groups {(min(g, t), max(g, t)) : t < nblk}.  Any two
+    same-bucket vectors u, v co-occur in EXACTLY ONE scoring role:
+    same-block pairs in the diagonal group (bu, bu) via the strict upper
+    triangle, cross-block pairs in (min(bu, bv), max(bu, bv)) via the
+    A x B rectangle — so the emitted pair set (and each pair's float64
+    cosine) is the single-group gram matrix's, while per-task memory is
+    bounded by the block pair (<= ~2*cap vectors, ~cap^2 scratch)
+    instead of m^2.  The replication factor nblk = m/cap per vector is
+    the standard bounded-triangle-join price and is 1 (zero overhead
+    beyond the count join) for every bucket at or under cap."""
+    import numpy as np
+    import pandas as pd
+
+    cnt = b.groupBy("bucket").agg(F.count("*").alias("_m"))
+    bb = (
+        b.join(F.broadcast(cnt), "bucket")
+        .withColumn(
+            "_nblk", F.ceil(F.col("_m") / F.lit(float(cap))).cast("int")
         )
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = cos[iu, ju] >= 0.9999
+        .withColumn(
+            "_blk", F.pmod(F.xxhash64("vec_id"), F.col("_nblk")).cast("int")
+        )
+    )
+    gp = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nblk") - 1),
+            lambda t: F.struct(
+                F.least(F.col("_blk"), t).alias("i"),
+                F.greatest(F.col("_blk"), t).alias("j"),
+            ),
+        )
+    )
+    groups = bb.select(
+        "bucket", "vec_id", "embedding", "_blk", gp.alias("_gp")
+    ).select(
+        "bucket",
+        "vec_id",
+        "embedding",
+        "_blk",
+        F.col("_gp.i").alias("_gi"),
+        F.col("_gp.j").alias("_gj"),
+    )
+
+    def _cos_matrix(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+        dots = X @ Y.T
+        nx = np.sqrt(np.einsum("ij,ij->i", X, X))
+        ny = np.sqrt(np.einsum("ij,ij->i", Y, Y))
+        denom = np.outer(nx, ny)
+        return np.where(denom != 0, dots / np.where(denom == 0, 1, denom), np.nan)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+        )
+        gi = int(pdf["_gi"].iat[0])
+        gj = int(pdf["_gj"].iat[0])
+        pdf = pdf.sort_values("vec_id")
+        if gi == gj:
+            ids = pdf["vec_id"].to_numpy()
+            if len(ids) < 2:
+                return empty
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            cos = _cos_matrix(X, X)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = cos[iu, ju] >= 0.9999
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "cos_raw": cos[iu[keep], ju[keep]],
+                }
+            )
+        a = pdf[pdf["_blk"].to_numpy() == gi]
+        c = pdf[pdf["_blk"].to_numpy() == gj]
+        if not len(a) or not len(c):
+            return empty
+        A = np.stack(a["embedding"].to_numpy()).astype("float64")
+        Cm = np.stack(c["embedding"].to_numpy()).astype("float64")
+        cos = _cos_matrix(A, Cm)
+        ia, ic = np.nonzero(cos >= 0.9999)
+        ida = a["vec_id"].to_numpy()[ia]
+        idc = c["vec_id"].to_numpy()[ic]
         return pd.DataFrame(
             {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "cos_raw": cos[iu[keep], ju[keep]],
+                "id_a": np.minimum(ida, idc),
+                "id_b": np.maximum(ida, idc),
+                "cos_raw": cos[ia, ic],
             }
         )
 
-    pairs = b.groupBy("bucket").applyInPandas(
-        per_bucket, "id_a long, id_b long, cos_raw double"
+    return groups.groupBy("bucket", "_gi", "_gj").applyInPandas(
+        per_group, "id_a long, id_b long, cos_raw double"
     )
-    return pairs.select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
 
 
 # -------------------------------------------------------------- multimodal

@@ -144,7 +144,8 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # resume/reader twins) so the changelog-file count below can be
         # taken from the state dir — the customMetrics alone cannot
         # distinguish changelog commits from snapshot commits.
-        ckpt = os.path.join(_resume_scratch(), "ckpt")
+        scratch = _resume_scratch()
+        ckpt = os.path.join(scratch, "ckpt")
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -164,6 +165,13 @@ def stream_upsert_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         }
         log = spark.table(name)
+        # r13 ADVICE: the metric above is the only reader of this
+        # checkpoint (the memory sink holds the results), and the
+        # stale-scratch sweep only reclaims dirs whose OWNER pid died —
+        # a long-lived bench/suite session re-invoking this query would
+        # otherwise accumulate live-owner tmpfs dirs until process exit.
+        # The stream is terminated, so remove the scratch eagerly.
+        shutil.rmtree(scratch, ignore_errors=True)
     return _upsert_final_state(log)
 
 

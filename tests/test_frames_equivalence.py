@@ -31,6 +31,22 @@ CORPUS = [
     "10 1 2 3",
     "10 5.",
     "10 .5",
+    # r13 ADVICE whitespace grammar pins: the spec is Spark's
+    # F.split(F.trim(line), r"\s+") — trim strips SPACES only and Java
+    # \s is [ \t\n\x0B\f\r].  These rows diverge under the previous
+    # Arrow port's utf8_trim_whitespace + RE2 \s (no \x0B, Unicode trim)
+    # and keep the two paths row-exact on the full grammar.
+    "1.5\x0b2.5",          # \x0B IS a Java separator: two valid tokens
+    "10 1.5\x0b2.5",
+    "\x1c",                # \x1c is NOT a separator and NOT trimmed: non-numeric
+    "10 1.5\x1c2.5",
+    "\t10 1 2",            # leading tab survives space-trim -> empty edge token
+    "10 1 2\t",
+    "\x0b",
+    " ",              # NBSP: not trimmed, not a separator
+    "10 5 1",
+    "   \t ",
+    "\t> info",            # leading tab defeats the info-frame check on BOTH paths
 ]
 
 
