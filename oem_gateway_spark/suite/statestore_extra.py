@@ -592,7 +592,20 @@ def stream_stream_full_outer_rocksdb(
     Provider liveness is recorded in
     STATE_METRICS["stream_stream_full_outer_rocksdb"]: rocksdb* custom
     metrics present + at least one .changelog file in the checkpoint
-    (pinned by tests/test_round13_ops.py)."""
+    (pinned by tests/test_round13_ops.py).
+
+    r14 (r13 VERDICT #4, guide §5): ``join.stateFormatVersion=3`` —
+    Spark 4's virtual-column-family join state, RocksDB-only — folds
+    the FOUR per-partition stores (left/right x keyToNumValues/
+    keyWithIndexToValue) into ONE store with column families, cutting
+    the per-batch native open/commit lifecycles and changelog files
+    4x.  Results are layout-invariant (same oracle hash, re-proven at
+    sf0.001/sf0.01); interleaved A/B at sf0.1: 1.35x median.  The
+    paragraph above about four stores describes the v2 layout the
+    DEFAULT-provider twin still runs; v3 liveness is pinned by
+    STATE_METRICS["..."]["state_store_dirs"] == 1 in
+    tests/test_round14_ops.py (v2 lays out 4 store dirs per
+    partition)."""
     from oem_gateway_spark.suite.streaming_batch import (
         _interval_match,
         _purchase_click_sides,
@@ -602,6 +615,7 @@ def stream_stream_full_outer_rocksdb(
         _PROVIDER_KEY: ROCKSDB_PROVIDER,
         _CHANGELOG_KEY: "true",
         _PARTITIONS_KEY: "8",
+        "spark.sql.streaming.join.stateFormatVersion": "3",
     }
     with _scoped_conf(spark, scoped):
         left, right = _purchase_click_sides(spark, sf_dir, sentinels=True)
@@ -622,10 +636,37 @@ def stream_stream_full_outer_rocksdb(
             .start()
         )
         q.awaitTermination()
+        part0 = os.path.join(ckpt, "state", "0", "0")
         STATE_METRICS["stream_stream_full_outer_rocksdb"] = {
             "changelog_files": len(
                 glob.glob(
                     os.path.join(ckpt, "state", "**", "*.changelog"),
+                    recursive=True,
+                )
+            ),
+            # v3 witness: the v2 join layout puts FOUR named store dirs
+            # under each partition (left/right x keyToNumValues/
+            # keyWithIndexToValue); v3's single virtual-column-family
+            # store keeps its files directly in the partition dir (plus
+            # a non-store _metadata dir), so the named-store count is
+            # the format's fingerprint.
+            "state_store_dirs": sorted(
+                d
+                for d in (
+                    os.listdir(part0) if os.path.isdir(part0) else []
+                )
+                if os.path.isdir(os.path.join(part0, d))
+                and not d.startswith("_")
+            ),
+            # Engine-level checkpoint checksums are disabled (session.py
+            # r14): Spark 4.1's ChecksumCheckpointFileManager writes a
+            # NON-hidden "<file>.crc" sidecar per checkpoint file when
+            # enabled; Python glob skips dot-hidden files, so this
+            # counts exactly the Spark-level sidecars (Hadoop LocalFS
+            # CRCs are dot-prefixed and uncounted).
+            "spark_checksum_files": len(
+                glob.glob(
+                    os.path.join(ckpt, "state", "**", "*.crc"),
                     recursive=True,
                 )
             ),
